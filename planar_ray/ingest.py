@@ -1,0 +1,236 @@
+"""Ingest: source-code corpus -> string-keyed edge table.
+
+Capability parity with the reference's converter pipeline
+(/root/reference/tools/graph_converter/graph_converter.cpp:61-170 —
+parse, self-loop drop, id compaction), re-expressed Ray-Data-first:
+
+  corpus parquet
+    -> map_batches(ImportExtractor, actor pool)   # ONE pass over `content`:
+         emits (repo, path, commit, lang, content_sha, imports:list<struct>)
+         and drops the heavy content column immediately after
+    -> file/vertex table + exploded import-candidate edges
+    -> stem-resolution JOIN against the file table (drops dangling imports)
+    -> union with containment edges (repo -> repo/path)
+    -> filter(src_key != dst_key)                  # self-loop drop
+
+Vertex keys: files are ``"{repo}/{path}"``, repos are ``"{repo}"``,
+stdlib hub modules are ``"stdlib/{name}"``. Import resolution works like
+a real resolver: the module token ``pkg_a.mod_b`` becomes a *stem*
+``src/pkg_a/mod_b`` that is joined against the repo's file listing (so
+the importing file does not need to know the target's extension);
+unresolved stems and ghost modules drop out of the inner join.
+
+The per-row invariant ``content_sha = sha256(content)`` is computed in
+the same single pass and carried on the file table; tests verify it is
+preserved bit-for-bit against an independent recomputation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .corpus import SEP
+from .joins import hash_bucket_join
+from .util import sha256_vec
+
+# one compiled extraction regex per language (compiled once per actor)
+IMPORT_RE = {
+    "py": re.compile(r"^import\s+([\w.]+)\s*$", re.M),
+    "js": re.compile(r"require\('([^']+)'\)", re.M),
+    "java": re.compile(r"^import\s+([\w.]+);\s*$", re.M),
+    "go": re.compile(r"^import\s+\"([^\"]+)\"\s*$", re.M),
+    "rs": re.compile(r"^use\s+([\w:]+);\s*$", re.M),
+}
+
+IMPORT_STRUCT = pa.struct([("kind", pa.string()), ("dst", pa.string())])
+
+
+def _resolve_token(token: str, lang: str) -> tuple[str, str] | None:
+    """Module token -> (kind, dst) where dst is a key ('stdlib'/'xrepo')
+    or a path stem ('file', resolved later via join). None = unresolvable."""
+    parts = token.split(SEP[lang])
+    if len(parts) == 1:
+        t = parts[0]
+        if t.startswith("std_"):
+            return ("stdlib", f"stdlib/{t}")
+        if t.startswith("ext__"):
+            # ext__org{a}__proj{b} -> repo key "org{a}/proj{b}"
+            segs = t.split("__")
+            if len(segs) == 3:
+                return ("xrepo", f"{segs[1]}/{segs[2]}")
+        return None  # ghost_* and anything else: dangling, drop
+    if len(parts) == 2:
+        return ("file", f"src/{parts[0]}/{parts[1]}")  # stem, no extension
+    return None
+
+
+class ImportExtractor:
+    """Actor-pool stage: the single pass over the heavy `content` column.
+
+    Regexes are compiled once per actor (__init__), not per batch —
+    the stateful-stage idiom replacing the reference's per-thread state.
+    """
+
+    def __init__(self) -> None:
+        self.regex = IMPORT_RE  # module-level compile; held per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch["content"]
+        langs = batch["lang"].to_pylist()
+        shas = sha256_vec(contents.to_pylist())
+        imports: list[list[dict]] = []
+        for content, lang in zip(contents.to_pylist(), langs):
+            found = []
+            for token in self.regex[lang].findall(content):
+                r = _resolve_token(token, lang)
+                if r is not None:
+                    found.append({"kind": r[0], "dst": r[1]})
+            imports.append(found)
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "content_sha": pa.array(shas, pa.string()),
+                "imports": pa.array(imports, pa.list_(IMPORT_STRUCT)),
+            }
+        )
+
+
+def extract_files(corpus: Dataset, concurrency: int | None = None) -> Dataset:
+    """corpus -> file table with content_sha + resolved-candidate imports."""
+    return corpus.map_batches(
+        ImportExtractor,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, concurrency or 8),
+        num_cpus=1,
+    )
+
+
+def _explode_imports(batch: pa.Table) -> pa.Table:
+    """(file row, imports list) -> one row per import candidate."""
+    lst = batch["imports"]
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    counts = pc.list_value_length(lst).fill_null(0).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    repo = batch["repo"].take(pa.array(idx))
+    path = batch["path"].take(pa.array(idx))
+    src_key = pc.binary_join_element_wise(repo, path, "/")
+    kind = flat.field("kind")
+    dst = flat.field("dst")
+    # stem key for file-imports is scoped to the repo: "repo\x00stem"
+    stem_key = pc.binary_join_element_wise(repo, dst, "\x00")
+    return pa.table(
+        {"src_key": src_key, "kind": kind, "dst": dst, "stem_key": stem_key}
+    )
+
+
+def _file_stems(batch: pa.Table) -> pa.Table:
+    """File table -> (stem_key, file_key) for import resolution."""
+    stem = pc.replace_substring_regex(batch["path"], r"\.(py|js|java|go|rs)$", "")
+    stem_key = pc.binary_join_element_wise(batch["repo"], stem, "\x00")
+    file_key = pc.binary_join_element_wise(batch["repo"], batch["path"], "/")
+    return pa.table({"stem_key": stem_key, "file_key": file_key})
+
+
+def build_edges(files: Dataset, num_partitions: int = 16) -> Dataset:
+    """File table (from extract_files) -> edge table (src_key, dst_key, kind).
+
+    Edge sources (cf. FIXTURES.md §2):
+      contain: repo -> repo/path for every file
+      stdlib : file -> stdlib/<module>        (high in-degree hubs)
+      xrepo  : file -> other repo
+      file   : file -> sibling file, resolved by stem JOIN (dangling drop)
+    Self-loops are filtered (graph_converter.cpp:113 equivalent).
+
+    ``files`` is consumed by four branches (direct edges, file-import
+    candidates, stem dictionary, containment); materialising it once —
+    it is small, the heavy ``content`` column was already dropped by
+    extract_files — prevents the extractor subtree from being re-executed
+    per branch. At 10^12-file scale this intermediate would be a parquet
+    spill instead of an object-store pin.
+    """
+    files = files.materialize()
+    cands = files.map_batches(_explode_imports, batch_format="pyarrow").materialize()
+
+    direct = cands.filter(expr="kind != 'file'").select_columns(
+        ["src_key", "dst", "kind"]
+    )
+    direct = direct.map_batches(
+        lambda t: pa.table(
+            {"src_key": t["src_key"], "dst_key": t["dst"], "kind": t["kind"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    file_cands = cands.filter(expr="kind == 'file'").select_columns(
+        ["src_key", "stem_key", "kind"]
+    )
+    stems = files.map_batches(_file_stems, batch_format="pyarrow")
+    resolved = hash_bucket_join(
+        file_cands, stems, left_on="stem_key", right_on="stem_key",
+        buckets=num_partitions * 4,
+    )
+    resolved = resolved.map_batches(
+        lambda t: pa.table(
+            {"src_key": t["src_key"], "dst_key": t["file_key"], "kind": t["kind"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    contain = files.map_batches(
+        lambda t: pa.table(
+            {
+                "src_key": t["repo"],
+                "dst_key": pc.binary_join_element_wise(t["repo"], t["path"], "/"),
+                "kind": pa.array(["contain"] * len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    edges = direct.union(resolved).union(contain)
+    return edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src_key"], t["dst_key"])),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracle (tests only): independent re-implementation over an
+# in-memory corpus table, row loops and all. Used to check the distributed
+# pipeline edge-for-edge on the tiny/small corpora.
+# ---------------------------------------------------------------------------
+
+def oracle_edges(corpus: pa.Table) -> set[tuple[str, str, str]]:
+    rows = corpus.to_pylist()
+    files = {}  # (repo, stem) -> full key
+    for r in rows:
+        stem = re.sub(r"\.(py|js|java|go|rs)$", "", r["path"])
+        files[(r["repo"], stem)] = f"{r['repo']}/{r['path']}"
+    out: set[tuple[str, str, str]] = set()
+    for r in rows:
+        src = f"{r['repo']}/{r['path']}"
+        out.add((r["repo"], src, "contain"))
+        for token in IMPORT_RE[r["lang"]].findall(r["content"]):
+            res = _resolve_token(token, r["lang"])
+            if res is None:
+                continue
+            kind, dst = res
+            if kind == "file":
+                hit = files.get((r["repo"], dst))
+                if hit is None:
+                    continue
+                dst = hit
+            if src != dst:
+                out.add((src, dst, kind))
+    return out

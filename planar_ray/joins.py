@@ -1,0 +1,116 @@
+"""Partitioned hash join as a pure Ray-Data composition.
+
+``Dataset.join`` in this Ray release spins up a fixed fleet of
+``HashShuffleAggregator`` actors that must ALL be scheduled before any
+progress — on a small/busy cluster that deadlocks against concurrently
+running actor pools. This module implements the portable pattern instead
+(explicit partitioned hash join, cf. the Ray Data user guide's joins
+section): add ``bucket = hash(key) % B`` to both sides, union them with a
+side tag, one ``groupby('bucket')`` sort-shuffle, and a vectorised pandas
+merge per bucket. No fixed actor fleet, no deadlock, deterministic
+output; B bounds the number of per-group Python calls, and each bucket's
+merge is a single vectorised pandas hash join.
+
+Skew note: a hot join key salts naturally across buckets only if the key
+itself varies; for the engine's uses (vertex-dict resolution, triangle
+wedge closing) keys are near-uniform hashes already.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .util import h64_bytes_vec
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64-style scramble so range-clustered ids spread evenly
+        v = (v ^ (v >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
+        return ((v ^ (v >> 31)) % np.uint64(buckets)).astype(np.int64)
+    return (h64_bytes_vec(col.to_pylist(), "join") % buckets).astype(np.int64)
+
+
+def hash_bucket_join(
+    left: Dataset,
+    right: Dataset,
+    left_on: str,
+    right_on: str,
+    buckets: int = DEFAULT_BUCKETS,
+    how: str = "inner",
+) -> Dataset:
+    """Join two datasets on a single key column (string or integer).
+
+    Output columns: all left columns + all right columns except
+    ``right_on`` (joined value columns must not collide by name).
+    """
+
+    lschema = left.schema()  # ray.data Schema: .names + .types (arrow types)
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    overlap = (set(lnames) - {left_on}) & (set(rnames) - {right_on})
+    if overlap:
+        raise ValueError(f"join value columns collide: {overlap}")
+
+    def tag(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_of(t[key].combine_chunks(), buckets)
+            out = t.append_column("__bucket", pa.array(b))
+            return out.append_column("__side", pa.array([side] * len(t)))
+        return fn
+
+    lt = left.map_batches(tag("l", left_on), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
+
+    # align schemas for union: both sides emit the SAME column order, with
+    # nulls for the other side's value columns
+    ordered = lnames + [n for n in rnames if n not in lnames] + ["__bucket", "__side"]
+    types = dict(ltypes)
+    for n, t in rtypes.items():
+        types.setdefault(n, t)
+
+    def pad(fn_names: list[str]):
+        have = set(fn_names) | {"__bucket", "__side"}
+
+        def fn(t: pa.Table) -> pa.Table:
+            data = {}
+            for n in ordered:
+                data[n] = t[n] if n in have else pa.nulls(len(t), types[n])
+            return pa.table(data)
+
+        return fn
+
+    lt = lt.map_batches(pad(lnames), batch_format="pyarrow")
+    rt = rt.map_batches(pad(rnames), batch_format="pyarrow")
+
+    out_r_cols = [n for n in rnames if n != right_on]
+    # the union carries nulls for the other side's columns, and pandas
+    # silently widens int64-with-NaN to float64 — cast back after merge
+    int_casts = {
+        n: "int64" for n, t in types.items()
+        if pa.types.is_integer(t) and n in set(lnames + out_r_cols)
+    }
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        gl = group[group["__side"] == "l"][lnames]
+        gr = group[group["__side"] == "r"][rnames]
+        if right_on != left_on:
+            gr = gr.rename(columns={right_on: left_on})
+        merged = gl.merge(gr, on=left_on, how=how, sort=False)
+        merged = merged.sort_values(list(merged.columns)).reset_index(drop=True)
+        merged = merged[lnames + out_r_cols]
+        return merged.astype(int_casts) if int_casts else merged
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge, batch_format="pandas"
+    )
