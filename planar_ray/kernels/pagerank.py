@@ -1,0 +1,184 @@
+"""PageRank kernels.
+
+Two modes, mirroring the reference's two formulations (SURVEY.md §2.3):
+
+* ``PageRankKernel`` — textbook power iteration with damping 0.85 and
+  dangling-mass redistribution, push-style over the ``fwd`` graph, run
+  until ``max|Δpr| < 1e-6`` (the north-rule metric). Messages are
+  ``(dst, pr/outdeg)`` partials, pre-combined per scatter batch; the
+  dangling mass is a global scalar carried between supersteps via the
+  engine's stats aggregate (no driver-side row iteration).
+
+* ``ReferencePageRankKernel`` — bit-compatible re-implementation of the
+  reference's core kernel (/root/reference/core/apps/pagerank_app.h:
+  74-99): init ``1/outdeg`` (``1/V`` when outdeg==0), each round
+  ``pr'[v] = 0.85 * Σ_{w∈out(v)} pr[w] / outdeg(v)`` for outdeg>0
+  vertices (zero-outdeg vertices keep their value), fixed ``iters``
+  rounds, no convergence test. A pull over out-edges is a push over the
+  stored ``rev`` direction, so this kernel scatters on ``rev`` while
+  dividing by the ``fwd`` out-degree carried in the state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Max, Sum
+
+from ..graph import CSRPart, Graph
+from ..superstep import Engine, Kernel, combine_sum
+
+
+class PageRankKernel(Kernel):
+    name = "pagerank"
+    direction = "fwd"
+    needs_global_stats = True  # dangling mass feeds the next superstep
+    columns = {
+        "val": pa.float64(),
+        "deg": pa.int64(),
+        "delta": pa.float64(),
+        "dangling": pa.float64(),
+        "in_msgs": pa.int64(),
+    }
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-6):
+        self.damping = damping
+        self.tol = tol
+
+    def init_cols(self, part, begin, end, csr: CSRPart):
+        n = end - begin
+        v = np.arange(begin, end, dtype=np.int64)
+        deg = csr.degrees(v)
+        val = np.full(n, 1.0 / self._num_vertices)  # PR(0) uniform
+        return {"val": val, "deg": deg, "delta": np.zeros(n),
+                "dangling": np.where(deg == 0, val, 0.0),
+                "in_msgs": np.zeros(n, np.int64)}
+
+    def scatter(self, csr: CSRPart, v, cols):
+        deg = cols["deg"]
+        val = cols["val"]
+        nz = deg > 0
+        if not nz.any():
+            return None
+        counts, nbrs = csr.neighbors_flat(v[nz])
+        contrib = np.repeat(val[nz] / deg[nz], counts)
+        t, s = combine_sum(nbrs, contrib)
+        return {"v": t, "val": s}
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        N = ctx["num_vertices"]
+        d = self.damping
+        v = state["v"]
+        deg = state["deg"]
+        old = state["val"]
+        # deterministic dense message sum over the range (sorted before reduce)
+        msum = np.zeros(n)
+        if len(msgs["v"]):
+            order = np.lexsort((msgs["val"], msgs["v"]))
+            mv, mw = msgs["v"][order], msgs["val"][order]
+            np.add.at(msum, mv - begin, mw)
+        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        dangling_prev = float(ctx["globals"].get("dangling_mass") or 0.0)
+        val = (1.0 - d) / N + d * (msum[v - begin] + dangling_prev / N)
+        delta = np.abs(val - old)
+        return {"v": v, "val": val, "deg": deg, "delta": delta,
+                "dangling": np.where(deg == 0, val, 0.0),
+                "in_msgs": in_msgs}
+
+    def stat_aggs(self):
+        return [Max(on="delta", alias_name="max_delta"),
+                Sum(on="in_msgs", alias_name="in_msgs"),
+                Sum(on="dangling", alias_name="dangling_mass")]
+
+    def converged(self, stats, superstep):
+        md = stats.get("max_delta")  # 0.0 is a valid (converged) value
+        return superstep > 0 and md is not None and float(md) < self.tol
+
+
+class ReferencePageRankKernel(Kernel):
+    """Fixed-iteration reference-parity mode (pagerank_app.h:74-99)."""
+
+    name = "pagerank_ref"
+    direction = "rev"
+    columns = {
+        "val": pa.float64(),
+        "deg": pa.int64(),  # fwd out-degree (the divisor in Pull)
+        "delta": pa.float64(),
+        "in_msgs": pa.int64(),
+    }
+
+    def __init__(self, iters: int = 10):
+        self.iters = iters
+        self._fwd_degrees = None  # set by pagerank_reference()
+
+    def init_cols(self, part, begin, end, csr: CSRPart):
+        # csr here is the REV csr; fwd out-degree comes via a degree map
+        n = end - begin
+        v = np.arange(begin, end, dtype=np.int64)
+        deg = self._deg_lookup(v)
+        val = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 1.0 / self._num_vertices)
+        return {"val": val, "deg": deg, "delta": np.zeros(n),
+                "in_msgs": np.zeros(n, np.int64)}
+
+    def _deg_lookup(self, v):
+        return self._fwd_degrees[v]
+
+    def scatter(self, csr: CSRPart, v, cols):
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        contrib = np.repeat(cols["val"], counts)
+        t, s = combine_sum(nbrs, contrib)
+        return {"v": t, "val": s}
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        v = state["v"]
+        deg = state["deg"]
+        old = state["val"]
+        msum = np.zeros(n)
+        if len(msgs["v"]):
+            order = np.lexsort((msgs["val"], msgs["v"]))
+            mv, mw = msgs["v"][order], msgs["val"][order]
+            np.add.at(msum, mv - begin, mw)
+        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        val = np.where(deg > 0, 0.85 * msum[v - begin] / np.maximum(deg, 1), old)
+        return {"v": v, "val": val, "deg": deg, "delta": np.abs(val - old),
+                "in_msgs": in_msgs}
+
+    def stat_aggs(self):
+        return [Max(on="delta", alias_name="max_delta"),
+                Sum(on="in_msgs", alias_name="in_msgs")]
+
+    def converged(self, stats, superstep):
+        return superstep >= self.iters - 1  # fixed rounds, like the reference
+
+
+def pagerank(graph: Graph, damping=0.85, tol=1e-6, max_supersteps=200,
+             run_dir=None, checkpoint_every=0, resume=False, **engine_kw):
+    """Run textbook PageRank to convergence; returns (state Dataset, engine)."""
+    eng = Engine(graph, PageRankKernel(damping, tol), run_dir=run_dir,
+                 checkpoint_every=checkpoint_every, **engine_kw)
+    state = eng.run(max_supersteps=max_supersteps, resume=resume)
+    return state, eng
+
+
+def pagerank_reference(graph: Graph, iters=10, **engine_kw):
+    """Reference-parity PageRank (fixed iters, pull over out-edges)."""
+    from ..graph import derive_direction
+
+    rev = derive_direction(graph, "rev")
+    kern = ReferencePageRankKernel(iters)
+    kern._num_vertices = graph.num_vertices
+    # fwd out-degree array: small per-vertex int vector; at 10^12 vertices
+    # this would be a joined state column instead — documented trade-off.
+    deg = np.zeros(graph.num_vertices, dtype=np.int64)
+    for p in range(graph.num_parts):
+        csr = graph.load_csr(p)
+        vv = np.arange(csr.begin, csr.end, dtype=np.int64)
+        deg[vv] = csr.degrees(vv)
+    kern._fwd_degrees = deg
+    eng = Engine(graph, kern, **engine_kw)
+    state = eng.run(max_supersteps=iters + 1)
+    return state, eng

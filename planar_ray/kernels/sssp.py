@@ -1,0 +1,104 @@
+"""SSSP (hop distances) and k-hop reachability — frontier supersteps.
+
+Capability parity with the reference's SSSP
+(/root/reference/core/apps/sssp_app_op.h:70-97: unweighted graph, relax
+pushes ``Read(id)+1`` via WriteMin, frontier = changed vertices) and
+k-hop (/root/reference/core/apps/k_hop_app.cpp): identical semantics —
+distances are hop counts, INF for unreachable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from ..graph import CSRPart, Graph
+from ..superstep import Engine, Kernel, combine_min
+
+INF = np.int64(2**62)
+
+
+class SSSPKernel(Kernel):
+    name = "sssp"
+    direction = "fwd"  # directed by default; pass a sym graph for undirected
+    columns = {
+        "val": pa.int64(),      # hop distance (INF unreachable)
+        "active": pa.int8(),
+        "changed": pa.int64(),
+        "in_msgs": pa.int64(),
+    }
+
+    def __init__(self, source: int, direction: str = "fwd"):
+        self.source = source
+        self.direction = direction
+
+    def init_cols(self, part, begin, end, csr: CSRPart):
+        n = end - begin
+        v = np.arange(begin, end, dtype=np.int64)
+        val = np.full(n, INF, dtype=np.int64)
+        active = np.zeros(n, np.int8)
+        if begin <= self.source < end:
+            val[self.source - begin] = 0
+            active[self.source - begin] = 1
+        return {"val": val, "active": active,
+                "changed": np.zeros(n, np.int64),
+                "in_msgs": np.zeros(n, np.int64)}
+
+    def scatter(self, csr: CSRPart, v, cols):
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        dist = np.repeat(cols["val"] + 1, counts)
+        t, m = combine_min(nbrs, dist)
+        return {"v": t, "val": m}
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        best = np.full(n, INF, dtype=np.int64)
+        if len(msgs["v"]):
+            np.minimum.at(best, msgs["v"] - begin, msgs["val"])
+        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        v = state["v"]
+        old = state["val"]
+        new = np.minimum(old, best[v - begin])
+        changed = (new != old).astype(np.int64)
+        return {"v": v, "val": new, "active": changed.astype(np.int8),
+                "changed": changed, "in_msgs": in_msgs}
+
+    def stat_aggs(self):
+        return [Sum(on="changed", alias_name="changed"),
+                Sum(on="in_msgs", alias_name="in_msgs")]
+
+    def converged(self, stats, superstep):
+        return superstep > 0 and int(stats.get("changed") or 0) == 0
+
+
+def sssp(graph: Graph, source: int, direction: str = "fwd",
+         max_supersteps: int = 10_000, **engine_kw):
+    """Hop-count SSSP from ``source``; returns (state Dataset, engine)."""
+    from ..graph import derive_direction
+
+    if direction != "fwd":
+        derive_direction(graph, direction)
+    eng = Engine(graph, SSSPKernel(source, direction), **engine_kw)
+    state = eng.run(max_supersteps=max_supersteps)
+    return state, eng
+
+
+def khop_counts(graph: Graph, source: int, k: int, direction: str = "fwd",
+                **engine_kw):
+    """Number of vertices within each hop 0..k of ``source`` (k-hop app)."""
+    from ..graph import derive_direction
+
+    if direction != "fwd":
+        derive_direction(graph, direction)
+    eng = Engine(graph, SSSPKernel(source, direction), **engine_kw)
+    state = eng.run(max_supersteps=k)
+    import pyarrow.compute as pc
+
+    reach = state.map_batches(
+        lambda t: t.filter(pc.less_equal(t["val"], k)).select(["val"]),
+        batch_format="pyarrow",
+    ).groupby("val").count()
+    return reach, eng

@@ -1,0 +1,131 @@
+"""Triangle counting — degree-oriented wedge join (MapReduce-style).
+
+Not present in the reference (SURVEY.md §7.5 — new kernel required by
+the north rule). Algorithm (the standard compact-forward / node-iterator
+hybrid expressed as dataset ops):
+
+  1. canonicalise the graph to undirected simple edges (a<b, distinct);
+  2. orient every edge from the endpoint with smaller (degree, id) to
+     the larger — bounds each vertex's oriented out-degree by O(sqrt(E))
+     and tames hubs (a stdlib module's edges all point *at* it, so it
+     produces no wedges);
+  3. wedges: self-join oriented edges on their source;
+  4. close: semi-join each wedge (b, c) against the oriented edge set.
+
+All-to-all exchanges: the distinct groupby, the degree groupby, and
+three hash-bucket joins. Wedge volume is O(Σ outdeg²) ≤ O(E^1.5) by the
+orientation bound. Pair keys are packed as ``x * V + y`` (requires
+V < 3·10^9 for int64; beyond that the join key becomes the two-column
+hash directly — documented limit, not a silent overflow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..graph import Graph
+from ..joins import hash_bucket_join
+
+
+def canonical_edges(edges: Dataset) -> Dataset:
+    """(src,dst) any direction -> distinct undirected (a<b) pairs."""
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    e = edges.map_batches(canon, batch_format="pyarrow")
+    return e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+
+
+def triangle_count(graph: Graph, buckets: int = 64) -> int:
+    """Total number of triangles in the underlying undirected simple graph."""
+    canon = canonical_edges(graph.edges_dataset()).materialize()
+    V = graph.num_vertices
+
+    # undirected degree per endpoint
+    deg = (
+        canon.map_batches(
+            lambda t: pa.table(
+                {"v": pa.concat_arrays([
+                    t["a"].combine_chunks(), t["b"].combine_chunks()])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(Count(alias_name="deg"))
+    )
+
+    withdeg = hash_bucket_join(canon, deg, left_on="a", right_on="v", buckets=buckets)
+    withdeg = withdeg.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "dega": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    withdeg = hash_bucket_join(withdeg, deg, left_on="b", right_on="v", buckets=buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["dega"].to_numpy(zero_copy_only=False)
+        db = t["deg"].to_numpy(zero_copy_only=False)
+        # orient from smaller (deg, id) to larger
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        return pa.table({"x": pa.array(lo), "y": pa.array(hi)})
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: (x -> y1), (x -> y2) with y1 < y2; key both sides on x
+    right = oriented.map_batches(
+        lambda t: pa.table({"x2": t["x"], "z": t["y"]}), batch_format="pyarrow"
+    )
+    wedges = hash_bucket_join(oriented, right, left_on="x", right_on="x2",
+                              buckets=buckets)
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        keep = y < z
+        y, z = y[keep], z[keep]
+        return pa.table({"pair": pa.array(y * V + z)})
+
+    wkeys = wedges.map_batches(wedge_keys, batch_format="pyarrow")
+
+    # wedge keys are id-ordered (y<z); pack every edge id-ordered too, so
+    # each undirected edge yields exactly one matching key
+    def edge_keys(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table({"epair": pa.array(lo * V + hi)})
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
+                              buckets=buckets)
+    return closed.count()
+
+
+def triangle_oracle(edges: np.ndarray) -> int:
+    """Brute-force triangle count over an edge array (tests)."""
+    s = {(int(a), int(b)) for a, b in edges if a != b}
+    und = set()
+    for a, b in s:
+        und.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in und:
+        count += len(adj[a] & adj[b])
+    return count // 3  # each triangle counted once per edge
