@@ -1,44 +1,101 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in planar_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline: synthetic source-code corpus (the
+  BASELINE.json input_hint schema) -> import-edge extraction -> dense-id
+  partitioned graph -> PageRank to convergence; returns the per-vertex
+  rank table.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2): graph kernels over two deterministic graphs derived
+  from the testdata tables (with SQL oracles), the corpus pipelines
+  (rows-only), and the training-data ops (dedup / text / ANN / events).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every oracle-checkable
+  query, column names matched exactly.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from planar_ray import corpus, graph as G, ingest
+    from planar_ray.kernels import pagerank
+
+    root = "/tmp/planar_ray_cache/entry_flagship"
+    ds = corpus.corpus_dataset(corpus.TINY)
+    files = ingest.extract_files(ds, concurrency=4)
+    edges = ingest.build_edges(files, num_partitions=4)
+    g, vdict = G.build_graph(edges, root, num_parts=4)
+    state, _eng = pagerank(g, max_supersteps=100)
+    ranks = state.select_columns(["v", "val"])
+    from planar_ray.joins import hash_bucket_join
+
+    keyed = hash_bucket_join(ranks, vdict.select_columns(["key", "v"]),
+                             left_on="v", right_on="v")
+    return keyed.select_columns(["key", "val"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from planar_ray.pipelines import testdata_graph as tg
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(tg.QUERIES)
+
+    try:
+        from planar_ray.pipelines import docs as _docs
+
+        out.update(_docs.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import ann as _ann
+
+        out.update(_ann.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import events as _events
+
+        out.update(_events.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import corpus_queries as _cq
+
+        out.update(_cq.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from planar_ray.pipelines import testdata_graph as tg
+
+    out: dict[str, str] = {}
+    out.update(tg.ORACLES)
+    try:
+        from planar_ray.pipelines import docs as _docs
+
+        out.update(_docs.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import ann as _ann
+
+        out.update(_ann.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import events as _events
+
+        out.update(_events.ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -361,6 +361,98 @@ def build_graph(
     return g, vdict
 
 
+def degrees_dataset(g: Graph) -> Dataset:
+    """(v, outdeg) for every vertex id in the graph's ranges — a per-part
+    map over the stored CSRs (the converter's degree pass,
+    /root/reference/tools/graph_partitioner/partitioner/hash_based_edgecut.cpp:82-100)."""
+    import ray.data as rd
+
+    boundaries = g.boundaries
+    root, direction = g.root, g.direction
+    P = g.num_parts
+
+    def emit(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["id"].to_numpy():
+            p = int(p)
+            begin, end = int(boundaries[p]), int(boundaries[p + 1])
+            csr = CSRPart.load(os.path.join(root, direction, f"part={p:05d}"), begin, end)
+            v = np.arange(begin, end, dtype=np.int64)
+            outs.append(pa.table({"v": pa.array(v), "outdeg": pa.array(csr.degrees(v))}))
+        return pa.concat_tables(outs)
+
+    return rd.range(P, override_num_blocks=P).map_batches(
+        emit, batch_format="pyarrow", batch_size=1
+    )
+
+
+def dense_rank_int(keys: Dataset, col: str = "key", bucket_width: int = 1 << 12) -> Dataset:
+    """Distinct int keys -> (key, v) with ORDER-PRESERVING dense ids [0, V).
+
+    Unlike :func:`build_vertex_dict` (hash buckets — order-scrambling),
+    this ranks within *range* buckets (``key // W``) and offsets by the
+    bucket-count cumsum, so ``key1 < key2  =>  id1 < id2``. Internal-id
+    comparisons (WCC min-label, LPA tie-breaks) then mirror key order,
+    which lets an external SQL oracle reproduce them on the raw keys.
+    Only the bucket-count table reaches the driver.
+    """
+    distinct = keys.groupby(col).aggregate(Count(alias_name="_n")).select_columns([col])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t[col].to_numpy(zero_copy_only=False) // bucket_width
+        return t.append_column("rbucket", pa.array(b.astype(np.int64)))
+
+    distinct = distinct.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    counts = (
+        distinct.groupby("rbucket").aggregate(Count(alias_name="n"))
+        .to_pandas().sort_values("rbucket")
+    )
+    nb = int(counts["rbucket"].max()) + 1 if len(counts) else 1
+    per = np.zeros(nb, dtype=np.int64)
+    per[counts["rbucket"].to_numpy(dtype=np.int64)] = counts["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per)[:-1]])
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        b = int(t["rbucket"][0].as_py())
+        k = np.sort(t[col].to_numpy(zero_copy_only=False))
+        v = offsets[b] + np.arange(len(k), dtype=np.int64)
+        return pa.table({"key": pa.array(k), "v": pa.array(v)})
+
+    return distinct.groupby("rbucket").map_groups(rank_group, batch_format="pyarrow")
+
+
+def graph_from_id_edges(
+    edges_ids: Dataset,
+    root: str,
+    num_vertices: int | None = None,
+    num_parts: int = 8,
+) -> Graph:
+    """Build a Graph from an already-integer (src,dst) dataset.
+
+    Ids need not be dense; ranges just contain holes (zero-degree slots).
+    Used by tests (hand-built graphs) and the testdata-derived pipelines
+    where keys are already small ints.
+    """
+    os.makedirs(root, exist_ok=True)
+    edges_ids = edges_ids.materialize()
+    if num_vertices is None:
+        hi = edges_ids.map_batches(
+            lambda t: pa.table({
+                "m": pa.array([max(
+                    int(pc.max(t["src"]).as_py() or 0),
+                    int(pc.max(t["dst"]).as_py() or 0),
+                )])
+            }),
+            batch_format="pyarrow",
+        ).max("m")
+        num_vertices = int(hi) + 1
+    dedup = edges_ids.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    ).groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+    return partition_edges(dedup, root, num_vertices, num_parts, "fwd")
+
+
 def derive_direction(g: Graph, direction: str, num_parts: int | None = None) -> Graph:
     """Materialise (once, cached on disk) the rev/sym variant of a graph."""
     meta = os.path.join(g.root, f"meta_{direction}.json")

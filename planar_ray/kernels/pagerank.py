@@ -41,9 +41,11 @@ class PageRankKernel(Kernel):
         "in_msgs": pa.int64(),
     }
 
-    def __init__(self, damping: float = 0.85, tol: float = 1e-6):
+    def __init__(self, damping: float = 0.85, tol: float = 1e-6,
+                 fixed_iters: int | None = None):
         self.damping = damping
         self.tol = tol
+        self.fixed_iters = fixed_iters  # exact superstep count (oracle parity)
 
     def init_cols(self, part, begin, end, csr: CSRPart):
         n = end - begin
@@ -92,6 +94,8 @@ class PageRankKernel(Kernel):
                 Sum(on="dangling", alias_name="dangling_mass")]
 
     def converged(self, stats, superstep):
+        if self.fixed_iters is not None:
+            return superstep >= self.fixed_iters - 1
         md = stats.get("max_delta")  # 0.0 is a valid (converged) value
         return superstep > 0 and md is not None and float(md) < self.tol
 
@@ -156,11 +160,16 @@ class ReferencePageRankKernel(Kernel):
 
 
 def pagerank(graph: Graph, damping=0.85, tol=1e-6, max_supersteps=200,
-             run_dir=None, checkpoint_every=0, resume=False, **engine_kw):
-    """Run textbook PageRank to convergence; returns (state Dataset, engine)."""
-    eng = Engine(graph, PageRankKernel(damping, tol), run_dir=run_dir,
-                 checkpoint_every=checkpoint_every, **engine_kw)
-    state = eng.run(max_supersteps=max_supersteps, resume=resume)
+             fixed_iters=None, run_dir=None, checkpoint_every=0, resume=False,
+             **engine_kw):
+    """Run textbook PageRank to convergence; returns (state Dataset, engine).
+
+    ``fixed_iters`` runs exactly that many supersteps instead of the
+    delta test (used when comparing against an unrolled SQL oracle).
+    """
+    eng = Engine(graph, PageRankKernel(damping, tol, fixed_iters),
+                 run_dir=run_dir, checkpoint_every=checkpoint_every, **engine_kw)
+    state = eng.run(max_supersteps=fixed_iters or max_supersteps, resume=resume)
     return state, eng
 
 

@@ -1,0 +1,445 @@
+"""Driver-checkable graph pipelines over the TPC-H-ish testdata tables.
+
+The engine's own input is the synthetic code corpus (FIXTURES.md), but the
+driver's correctness gate compares Ray pipelines against DuckDB SQL over
+the pre-registered testdata views. These adapters derive two deterministic
+graphs from those tables and run every kernel on them, with a SQL oracle
+string generated next to each pipeline:
+
+* **g1** (directed, bipartite, has dangling vertices): customer -> order,
+  node ids encoded ``custkey`` and ``1_000_000 + orderkey``;
+* **g2** (undirected): part co-occurrence — parts appearing in the same
+  order are connected; both directions stored, so the fwd graph is
+  symmetric.
+
+Node ids are compacted with the ORDER-PRESERVING dense rank
+(graph.dense_rank_int), so internal-id comparisons (WCC min labels, LPA
+tie-breaks) coincide with raw-key comparisons and the SQL oracle can
+reproduce them on the raw keys. Results are keyed by ``node_key`` strings
+('c123' / 'o45' / 'p7') and floats are rounded to 6 digits on BOTH sides
+so the driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..graph import (
+    Graph,
+    degrees_dataset,
+    dense_rank_int,
+    graph_from_id_edges,
+    partition_edges,
+)
+from ..joins import hash_bucket_join
+from ..kernels import khop_counts, lpa, pagerank, sssp, triangle_count, wcc
+from ..kernels.sssp import INF
+
+ORDER_OFFSET = 1_000_000
+PR_ITERS = 20
+LPA_ITERS = 4
+KHOP_K = 3
+SSSP_CAP = 30
+WCC_UNROLL = 20  # oracle unroll for min-label propagation (>= graph diameter)
+
+
+def _cache_root(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.environ.get("PLANAR_RAY_CACHE", "/tmp/planar_ray_cache"), "testdata", tag
+    )
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# graph construction (cached per sf_dir)
+# ---------------------------------------------------------------------------
+
+def g1_edge_ids(sf_dir: str) -> Dataset:
+    """customer -> order edges with encoded int node ids."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return orders.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                "dst": pc.add(t["o_orderkey"], ORDER_OFFSET).combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def g2_edge_ids(sf_dir: str) -> Dataset:
+    """Part co-occurrence (same order) — symmetric directed edge table."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.groupby(["l_orderkey", "l_partkey"]).aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"okey": t["l_orderkey"], "pk2": t["l_partkey"]}),
+        batch_format="pyarrow",
+    )
+    pairs = hash_bucket_join(li, right, left_on="l_orderkey", right_on="okey")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["pk2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a < b
+        return pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+
+    canon_pairs = pairs.map_batches(canon, batch_format="pyarrow")
+    canon_pairs = canon_pairs.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["src", "dst"])
+    # symmetrise: both directions stored -> fwd graph is the undirected graph
+    return canon_pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
+                "dst": pa.concat_arrays([t["dst"].combine_chunks(), t["src"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
+    """Build (or reload) the compacted graph + id dictionary for g1/g2."""
+    import ray.data as rd
+
+    root = os.path.join(_cache_root(sf_dir), which)
+    dict_dir = os.path.join(root, "iddict")
+    if os.path.exists(os.path.join(root, "meta_fwd.json")) and os.path.isdir(dict_dir):
+        return Graph.load(root, "fwd"), rd.read_parquet(dict_dir)
+
+    edges = (g1_edge_ids if which == "g1" else g2_edge_ids)(sf_dir).materialize()
+    keys = edges.map_batches(
+        lambda t: pa.table(
+            {"key": pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()])}
+        ),
+        batch_format="pyarrow",
+    )
+    iddict = dense_rank_int(keys).materialize()
+    num_vertices = iddict.count()
+    mapped = hash_bucket_join(edges, iddict, left_on="src", right_on="key")
+    mapped = mapped.map_batches(
+        lambda t: pa.table({"src": t["v"], "dst": t["dst"]}), batch_format="pyarrow"
+    )
+    mapped = hash_bucket_join(mapped, iddict, left_on="dst", right_on="key")
+    mapped = mapped.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["v"]}), batch_format="pyarrow"
+    )
+    os.makedirs(root, exist_ok=True)
+    g = partition_edges(mapped, root, num_vertices, num_parts=4, direction="fwd")
+    iddict.write_parquet(dict_dir)
+    return g, iddict
+
+
+def _format_keys(keys: np.ndarray) -> list[str]:
+    out = []
+    for k in keys:
+        k = int(k)
+        out.append(f"o{k - ORDER_OFFSET}" if k >= ORDER_OFFSET else (f"c{k}"))
+    return out
+
+
+def _format_keys_p(keys: np.ndarray) -> list[str]:
+    return [f"p{int(k)}" for k in keys]
+
+
+def _attach_key(ds: Dataset, iddict: Dataset, on: str, out_name: str) -> Dataset:
+    """Map an internal-id column back to its raw key via the dictionary."""
+    flip = iddict.map_batches(
+        lambda t: pa.table({"_vid": t["v"], "_rawkey": t["key"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(ds, flip, left_on=on, right_on="_vid")
+    return j.map_batches(
+        lambda t: t.append_column(out_name, t["_rawkey"]).drop_columns(["_rawkey"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (each returns a pyarrow table; names match the SQL oracle exactly)
+# ---------------------------------------------------------------------------
+
+def q_g1_degree(sf_dir: str) -> pa.Table:
+    g, iddict = _build(sf_dir, "g1")
+    deg = degrees_dataset(g)
+    withkey = _attach_key(deg, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys(tab["rawkey"].to_numpy())),
+            "outdeg": pa.array(tab["outdeg"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _pagerank_table(sf_dir: str, which: str, fmt) -> pa.Table:
+    g, iddict = _build(sf_dir, which)
+    state, _eng = pagerank(g, fixed_iters=PR_ITERS)
+    vals = state.select_columns(["v", "val"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(fmt(tab["rawkey"].to_numpy())),
+            "score": pa.array(np.round(tab["val"].to_numpy(), 6)),
+        }
+    )
+
+
+def q_g1_pagerank(sf_dir: str) -> pa.Table:
+    return _pagerank_table(sf_dir, "g1", _format_keys)
+
+
+def q_g2_pagerank(sf_dir: str) -> pa.Table:
+    return _pagerank_table(sf_dir, "g2", _format_keys_p)
+
+
+def q_g2_wcc(sf_dir: str) -> pa.Table:
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = wcc(g)
+    vals = state.select_columns(["v", "val"])
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withc = _attach_key(withv, iddict, "val", "ckey")
+    tab = withc.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "component": pa.array(_format_keys_p(tab["ckey"].to_numpy())),
+        }
+    )
+
+
+def q_g2_lpa(sf_dir: str) -> pa.Table:
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = lpa(g, max_iters=LPA_ITERS)
+    vals = state.select_columns(["v", "val"])
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withl = _attach_key(withv, iddict, "val", "lkey")
+    tab = withl.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "label": pa.array(_format_keys_p(tab["lkey"].to_numpy())),
+        }
+    )
+
+
+def q_g2_triangles(sf_dir: str) -> pa.Table:
+    g, _ = _build(sf_dir, "g2")
+    n = triangle_count(g)
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
+def q_g2_sssp(sf_dir: str) -> pa.Table:
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = sssp(g, source=0, max_supersteps=SSSP_CAP)  # id 0 = min key
+    reach = state.map_batches(
+        lambda t: t.filter(pc.less(t["val"], int(INF))).select(["v", "val"]),
+        batch_format="pyarrow",
+    )
+    withkey = _attach_key(reach, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+            "dist": pa.array(tab["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_g2_khop(sf_dir: str) -> pa.Table:
+    g, _ = _build(sf_dir, "g2")
+    reach, _eng = khop_counts(g, source=0, k=KHOP_K)
+    tab = reach.to_pandas().sort_values("val")
+    return pa.table(
+        {
+            "dist": pa.array(tab["val"].to_numpy().astype(np.int64)),
+            "n": pa.array(tab["count()"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (DuckDB, over the pre-registered testdata views)
+# ---------------------------------------------------------------------------
+
+_G1_BASE = f"""
+edges AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST({ORDER_OFFSET} + o_orderkey AS BIGINT) AS dst
+  FROM orders GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (
+  SELECT n.v, COUNT(e.src) AS outdeg
+  FROM nodes n LEFT JOIN edges e ON e.src = n.v GROUP BY n.v)
+"""
+
+_G2_BASE = """
+pairs AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+edges AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM pairs
+          UNION ALL
+          SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+_KEY_G1 = (
+    f"CASE WHEN v >= {ORDER_OFFSET} THEN 'o' || CAST(v - {ORDER_OFFSET} AS VARCHAR) "
+    "ELSE 'c' || CAST(v AS VARCHAR) END"
+)
+
+
+def _pr_sql(base: str, key_expr: str, iters: int) -> str:
+    ctes = [
+        "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "pr0 AS MATERIALIZED (SELECT d.v, d.outdeg, 1.0 / nv.n AS pr FROM deg d, nv)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        ctes.append(
+            f"pr{i} AS MATERIALIZED ("
+            f" SELECT d.v, d.outdeg,"
+            f"  0.15 / nv.n + 0.85 * (COALESCE(m.s, 0)"
+            f"   + (SELECT COALESCE(SUM(pr), 0) FROM {p} WHERE outdeg = 0) / nv.n) AS pr"
+            f" FROM deg d CROSS JOIN nv"
+            f" LEFT JOIN (SELECT e.dst AS v, SUM(p.pr / p.outdeg) AS s"
+            f"            FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst) m"
+            f"   ON m.v = d.v)"
+        )
+    return (
+        "WITH " + base.strip().rstrip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT {key_expr} AS node_key, ROUND(pr, 6) AS score FROM pr{iters}"
+    )
+
+
+def _wcc_sql(unroll: int = WCC_UNROLL) -> str:
+    ctes = ["lab0 AS MATERIALIZED (SELECT v, v AS label FROM nodes)"]
+    for i in range(1, unroll + 1):
+        p = f"lab{i - 1}"
+        ctes.append(
+            f"lab{i} AS MATERIALIZED ("
+            f" SELECT n.v, LEAST(l.label, COALESCE(m.mn, l.label)) AS label"
+            f" FROM nodes n JOIN {p} l ON l.v = n.v"
+            f" LEFT JOIN (SELECT e.dst AS v, MIN(p.label) AS mn"
+            f"            FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst) m"
+            f"   ON m.v = n.v)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(v AS VARCHAR) AS node_key,"
+        f" 'p' || CAST(label AS VARCHAR) AS component FROM lab{unroll}"
+    )
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    ctes = ["lab0 AS MATERIALIZED (SELECT v, v AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        p = f"lab{i - 1}"
+        ctes.append(
+            f"lab{i} AS MATERIALIZED ("
+            f" SELECT n.v, COALESCE(w.label, l.label) AS label"
+            f" FROM nodes n JOIN {p} l ON l.v = n.v"
+            f" LEFT JOIN ("
+            f"   SELECT v, label FROM ("
+            f"     SELECT e.dst AS v, p.label, COUNT(*) AS c,"
+            f"            ROW_NUMBER() OVER (PARTITION BY e.dst"
+            f"                               ORDER BY COUNT(*) DESC, p.label ASC) AS rn"
+            f"     FROM edges e JOIN {p} p ON p.v = e.src"
+            f"     GROUP BY e.dst, p.label)"
+            f"   WHERE rn = 1) w ON w.v = n.v)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(v AS VARCHAR) AS node_key,"
+        f" 'p' || CAST(label AS VARCHAR) AS label FROM lab{iters}"
+    )
+
+
+SQL_G1_DEGREE = (
+    "WITH " + _G1_BASE.strip()
+    + f"\nSELECT {_KEY_G1} AS node_key, CAST(outdeg AS BIGINT) AS outdeg FROM deg"
+)
+
+SQL_G1_PAGERANK = _pr_sql(_G1_BASE, _KEY_G1, PR_ITERS)
+SQL_G2_PAGERANK = _pr_sql(_G2_BASE, "'p' || CAST(v AS VARCHAR)", PR_ITERS)
+SQL_G2_WCC = _wcc_sql()
+SQL_G2_LPA = _lpa_sql()
+
+SQL_G2_TRIANGLES = (
+    "WITH " + _G2_BASE.strip() + ",\n"
+    + """o AS MATERIALIZED (
+  SELECT CASE WHEN (da.outdeg < db.outdeg)
+               OR (da.outdeg = db.outdeg AND p.a < p.b) THEN p.a ELSE p.b END AS x,
+         CASE WHEN (da.outdeg < db.outdeg)
+               OR (da.outdeg = db.outdeg AND p.a < p.b) THEN p.b ELSE p.a END AS y
+  FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM o e1 JOIN o e2 ON e2.x = e1.x AND e1.y < e2.y
+JOIN pairs pr ON pr.a = LEAST(e1.y, e2.y) AND pr.b = GREATEST(e1.y, e2.y)"""
+)
+
+SQL_G2_SSSP = (
+    "WITH RECURSIVE " + _G2_BASE.strip() + ",\n"
+    + f"""walk(v, d) AS (
+  SELECT (SELECT MIN(v) FROM nodes), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {SSSP_CAP})
+SELECT 'p' || CAST(v AS VARCHAR) AS node_key, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY v"""
+)
+
+SQL_G2_KHOP = (
+    "WITH RECURSIVE " + _G2_BASE.strip() + ",\n"
+    + f"""walk(v, d) AS (
+  SELECT (SELECT MIN(v) FROM nodes), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {KHOP_K})
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT v, MIN(d) AS dist FROM walk GROUP BY v) GROUP BY dist"""
+)
+
+
+QUERIES = {
+    "g1_degree": q_g1_degree,
+    "g1_pagerank": q_g1_pagerank,
+    "g2_pagerank": q_g2_pagerank,
+    "g2_wcc": q_g2_wcc,
+    "g2_lpa": q_g2_lpa,
+    "g2_triangles": q_g2_triangles,
+    "g2_sssp": q_g2_sssp,
+    "g2_khop": q_g2_khop,
+}
+
+ORACLES = {
+    "g1_degree": SQL_G1_DEGREE,
+    "g1_pagerank": SQL_G1_PAGERANK,
+    "g2_pagerank": SQL_G2_PAGERANK,
+    "g2_wcc": SQL_G2_WCC,
+    "g2_lpa": SQL_G2_LPA,
+    "g2_triangles": SQL_G2_TRIANGLES,
+    "g2_sssp": SQL_G2_SSSP,
+    "g2_khop": SQL_G2_KHOP,
+}
