@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     try:
+        from planar_ray.pipelines import multimodal as _mm
+
+        out.update(_mm.QUERIES)
+    except ImportError:
+        pass
+    try:
         from planar_ray.pipelines import corpus_queries as _cq
 
         out.update(_cq.QUERIES)

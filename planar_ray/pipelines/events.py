@@ -1,0 +1,146 @@
+"""Stream-shaped operators over the ``events`` table (batch log semantics).
+
+Ray Data has no event-time/watermark runtime; per the streaming mapping in
+SURVEY.md §2.4 these treat ``events`` as an ordered, partitioned log:
+
+* ``events_window`` — tumbling 1-hour windows per event_type
+  (GROUP BY is the window assignment; no state needed).
+* ``events_sessionize`` — 30-minute-gap session windows per user:
+  ``groupby(user_id).map_groups`` sorts each user's log by (ts,
+  event_id) and cuts sessions with a vectorised gap scan. Ordering
+  assumption: per-user logs fit a group (true for keyed logs; a user's
+  events co-locate under the hash shuffle at any scale).
+
+Both have exact SQL oracles (epoch microseconds, integer arithmetic only
+— no float timestamps anywhere).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+WINDOW_US = 3_600_000_000  # 1 hour
+GAP_US = 1_800_000_000     # 30 min session gap
+
+
+def _read_events(sf_dir: str, columns) -> Dataset:
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    ev = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": pa.array(us // WINDOW_US),
+                "value": t["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ev.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Count(alias_name="n"), Sum(on="value", alias_name="sv"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"]),
+            "window_id": pa.array(out["window_id"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+            "sum_value": pa.array(np.round(out["sv"].to_numpy(), 6)),
+        }
+    )
+
+
+SQL_EVENTS_WINDOW = f"""
+SELECT event_type,
+       CAST(epoch_us(ts) // {WINDOW_US} AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(sf_dir: str) -> pa.Table:
+    ev = _read_events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        us = g["us"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)
+        out = g.assign(session_id=sid).groupby("session_id").agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            start_us=("us", "min"),
+            end_us=("us", "max"),
+        ).reset_index()
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+
+    out = (
+        ev.map_batches(cast_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({c: "int64" for c in out.columns})
+    return pa.Table.from_pandas(
+        out.sort_values(["user_id", "session_id"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_US}
+               OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+sess AS (
+  SELECT user_id, event_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES = {
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

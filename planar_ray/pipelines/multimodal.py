@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+metadata columns beside them. The decode step needs codec libraries that
+are NOT in this container, so it is stubbed behind a clearly marked
+``NotImplementedError`` with a deterministic fake for tests — but all the
+Ray-side plumbing is real and tested: schema, actor-pool stage shape
+(weights "loaded" once per actor in ``__init__``), per-batch vectorised
+feature extraction, small batch sizes for wide binary rows, list<float>
+output columns.
+
+``mm_features`` fabricates payloads from the documents table (utf-8
+bytes as stand-in blobs), then runs the extraction stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+FEATURE_DIM = 8
+HIST_BINS = 16
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL decode stub — requires an image codec not present here."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg which are not available in this "
+        "environment; use fake_decode (deterministic) for tests"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: byte histogram as the 'decoded' signal."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(raw >> 4, minlength=HIST_BINS).astype(np.float64)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+class FeatureExtractor:
+    """Actor-pool stage: 'model' weights built once per actor (__init__),
+    per-batch vectorised feature projection (__call__). The real decode
+    call is swapped in by constructing with use_real_decode=True."""
+
+    def __init__(self, seed: int = 31, use_real_decode: bool = False):
+        rng = np.random.default_rng(seed)
+        self.weights = rng.standard_normal((HIST_BINS, FEATURE_DIM))
+        self.decode = decode_image if use_real_decode else fake_decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        signals = np.stack([self.decode(p) for p in payloads])
+        feats = signals @ self.weights  # (batch, FEATURE_DIM)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "feature": pa.array(
+                    [row.tolist() for row in np.round(feats, 6)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+
+def payloads_from_docs(sf_dir: str) -> Dataset:
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(
+                    [s.encode("utf-8") for s in t["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    return docs.map_batches(to_binary, batch_format="pyarrow")
+
+
+def q_mm_features(sf_dir: str) -> pa.Table:
+    ds = payloads_from_docs(sf_dir)
+    # small batch size: binary payload rows are wide; an image pipeline
+    # would size batch_size so batch x concurrency fits worker heap
+    out = ds.map_batches(
+        FeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES = {"mm_features": q_mm_features}
+ORACLES: dict[str, str] = {}
