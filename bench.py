@@ -1,0 +1,239 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): times the headline
+pipelines — corpus ingest -> graph build, PageRank to convergence (the
+north-rule metric: edges/sec per superstep), WCC, LPA, triangle count,
+plus the training-data ops over ``$GRAFT_SF_DIR`` — and prints ONE JSON
+line::
+
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pagerank": {"supersteps": n, "edges_per_sec_per_superstep": r}}
+
+``--scaling``: runs the same PageRank job on the same deterministic
+Zipf edge table (PLANAR_SCALING_EDGES, default 16M edges) in two fresh
+processes at N and 4N CPUs (PLANAR_SCALING_N, default 4 -> 4 vs 16) and
+reports both throughputs + scaling efficiency, appending the result to
+BENCH/BASELINE.md. A sandbox substitute for two cluster sizes per
+BASELINE.md's protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _eprint(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _init_ray(ncpu: int):
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _bench_graph(ncpu: int):
+    """Corpus BENCH spec -> ingest -> graph build; returns (graph, secs)."""
+    from planar_ray import corpus, graph as G, ingest
+
+    cdir = corpus.write_corpus(corpus.BENCH)  # cached, untimed after first run
+    root = "/tmp/planar_bench/graph"
+    shutil.rmtree(root, ignore_errors=True)
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    ds = rd.read_parquet(cdir)
+    files = ingest.extract_files(ds, concurrency=min(8, ncpu))
+    edges = ingest.build_edges(files, num_partitions=16)
+    g, _vdict = G.build_graph(edges, root, num_parts=max(16, ncpu))
+    return g, time.monotonic() - t0
+
+
+def run_suite(sf_dir: str, ncpu: int) -> dict:
+    from planar_ray.kernels import lpa, pagerank, triangle_count, wcc
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    g, queries["corpus_ingest_build"] = _bench_graph(ncpu)
+    _eprint(f"graph: V={g.num_vertices} E={g.num_edges} P={g.num_parts}")
+
+    t0 = time.monotonic()
+    state, eng = pagerank(g, tol=1e-6, max_supersteps=200, stats_every=2)
+    queries["pagerank"] = time.monotonic() - t0
+    steps = eng.metrics
+    extra["pagerank"] = {
+        "supersteps": len(steps),
+        "edges_per_sec_per_superstep": round(
+            g.num_edges * len(steps) / max(1e-9, queries["pagerank"]), 1
+        ),
+        "max_delta_final": steps[-1].max_delta,
+    }
+
+    t0 = time.monotonic()
+    _state, weng = wcc(g, stats_every=1)
+    queries["wcc"] = time.monotonic() - t0
+    extra["wcc_supersteps"] = len(weng.metrics)
+
+    t0 = time.monotonic()
+    lpa(g, max_iters=8, stats_every=2)
+    queries["lpa"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    extra["triangles"] = triangle_count(g)
+    queries["triangles"] = time.monotonic() - t0
+
+    # training-data ops over the sf tables
+    from planar_ray.pipelines.ann import q_ann_topk
+    from planar_ray.pipelines.docs import q_doc_exact_dedup, q_doc_minhash_dedup
+    from planar_ray.pipelines.events import q_events_sessionize
+
+    t0 = time.monotonic(); q_doc_exact_dedup(sf_dir)
+    queries["doc_exact_dedup"] = time.monotonic() - t0
+    t0 = time.monotonic(); q_doc_minhash_dedup(sf_dir)
+    queries["doc_minhash_dedup"] = time.monotonic() - t0
+    t0 = time.monotonic(); q_ann_topk(sf_dir)
+    queries["ann_topk"] = time.monotonic() - t0
+    t0 = time.monotonic(); q_events_sessionize(sf_dir)
+    queries["events_sessionize"] = time.monotonic() - t0
+
+    return {"queries": {k: round(v, 2) for k, v in queries.items()}, "extra": extra}
+
+
+# ---------------------------------------------------------------------------
+# scaling protocol (N vs 4N CPUs, same input, fresh processes)
+# ---------------------------------------------------------------------------
+
+def scaling_child(ncpu: int, num_edges: int) -> None:
+    _init_ray(ncpu)
+    from planar_ray import graph as G
+    from planar_ray.benchgraph import zipf_edges
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.superstep import Engine
+
+    root = f"/tmp/planar_scaling/zipf_{num_edges}"
+    if os.path.exists(os.path.join(root, "meta_fwd.json")):
+        g = G.Graph.load(root, "fwd")  # deterministic graph: reuse across children
+    else:
+        edges = zipf_edges(num_vertices=num_edges // 8, num_edges=num_edges)
+        g = G.graph_from_id_edges(edges, root, num_parts=32, dedup=False)
+    eng = Engine(g, PageRankKernel(fixed_iters=10_000), stats_every=100)
+    state = eng.init_state()
+    for s in range(2):  # warm: CSR into plasma + worker caches
+        state, _ = eng.step(state, s, with_stats=False)
+    n_steps = 10
+    t0 = time.monotonic()
+    for s in range(2, 2 + n_steps):
+        state, _ = eng.step(state, s, with_stats=False)
+    dt = time.monotonic() - t0
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "num_cpus": ncpu, "edges": g.num_edges, "supersteps": n_steps,
+        "sec": round(dt, 2),
+        "edges_per_sec_per_superstep": round(g.num_edges * n_steps / dt, 1),
+        "sec_per_superstep": round(dt / n_steps, 3),
+    }))
+
+
+def run_scaling() -> dict:
+    n = int(os.environ.get("PLANAR_SCALING_N", "4"))
+    edges = int(os.environ.get("PLANAR_SCALING_EDGES", "16000000"))
+
+    def child(ncpu: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(ncpu), str(edges)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo = child(n)
+    _eprint("scaling lo:", lo)
+    hi = child(4 * n)
+    _eprint("scaling hi:", hi)
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    result = {
+        "metric": "pagerank_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cpus": n,
+        "n4_cpus": 4 * n,
+        "edges": edges,
+        "lo": lo,
+        "hi": hi,
+    }
+    _write_scaling_md(result)
+    return result
+
+
+def _write_scaling_md(r: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    lines = [
+        "",
+        f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"Zipf edge table, E={r['edges']:,}, same graph + 10 timed supersteps",
+        "per level (2 warm-up), fresh `ray.init` processes.",
+        "",
+        "| cpus | sec (10 supersteps) | sec/superstep | edges/sec/superstep |",
+        "|---|---|---|---|",
+        f"| {r['lo']['num_cpus']} | {r['lo']['sec']} | {r['lo']['sec_per_superstep']} | {r['lo']['edges_per_sec_per_superstep']:,} |",
+        f"| {r['hi']['num_cpus']} | {r['hi']['sec']} | {r['hi']['sec_per_superstep']} | {r['hi']['edges_per_sec_per_superstep']:,} |",
+        "",
+        f"**Scaling efficiency (N={r['n_cpus']} -> 4N={r['n4_cpus']}): {r['value']}**",
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    if "--scaling-child" in sys.argv:
+        i = sys.argv.index("--scaling-child")
+        scaling_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    _init_ray(ncpu)
+    t0 = time.monotonic()
+    res = run_suite(sf_dir, ncpu)
+    total = round(time.monotonic() - t0, 2)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "pagerank": res["extra"]["pagerank"],
+        "extra": {k: v for k, v in res["extra"].items() if k != "pagerank"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

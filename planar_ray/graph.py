@@ -124,9 +124,12 @@ def map_edges_to_ids(
 # ---------------------------------------------------------------------------
 
 def _bucket_size(num_vertices: int, num_parts: int) -> int:
-    """Histogram granularity: ~8 buckets per target partition, so boundary
-    placement error is ~12% of a partition; the driver sees ~8·P rows."""
-    return max(1, num_vertices // max(1, num_parts * 8))
+    """Histogram granularity: ~64 buckets per target partition. Coarse
+    buckets under-split hub src-ranges (a Zipf head bucket can hold
+    several partitions' worth of edges and become the superstep
+    straggler — measured 5x skew at 8 buckets/part), so granularity is
+    the skew control; the driver still only sees ~64·P rows."""
+    return max(1, num_vertices // max(1, num_parts * 64))
 
 
 def pick_boundaries(edges: Dataset, num_vertices: int, num_parts: int) -> np.ndarray:
@@ -426,12 +429,14 @@ def graph_from_id_edges(
     root: str,
     num_vertices: int | None = None,
     num_parts: int = 8,
+    dedup: bool = True,
 ) -> Graph:
     """Build a Graph from an already-integer (src,dst) dataset.
 
     Ids need not be dense; ranges just contain holes (zero-degree slots).
     Used by tests (hand-built graphs) and the testdata-derived pipelines
-    where keys are already small ints.
+    where keys are already small ints. ``dedup=False`` skips the exact
+    multi-edge dedup shuffle for inputs known clean (bench generators).
     """
     os.makedirs(root, exist_ok=True)
     edges_ids = edges_ids.materialize()
@@ -446,11 +451,15 @@ def graph_from_id_edges(
             batch_format="pyarrow",
         ).max("m")
         num_vertices = int(hi) + 1
-    dedup = edges_ids.map_batches(
+    cleaned = edges_ids.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
         batch_format="pyarrow",
-    ).groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
-    return partition_edges(dedup, root, num_vertices, num_parts, "fwd")
+    )
+    if dedup:
+        cleaned = cleaned.groupby(["src", "dst"]).aggregate(
+            Count(alias_name="_n")
+        ).select_columns(["src", "dst"])
+    return partition_edges(cleaned, root, num_vertices, num_parts, "fwd")
 
 
 def derive_direction(g: Graph, direction: str, num_parts: int | None = None) -> Graph:

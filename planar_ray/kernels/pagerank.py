@@ -32,12 +32,15 @@ from ..superstep import Engine, Kernel, combine_sum
 class PageRankKernel(Kernel):
     name = "pagerank"
     direction = "fwd"
-    needs_global_stats = True  # dangling mass feeds the next superstep
+    # dangling mass rides the shuffle as role-2 global-partial rows
+    # (Kernel.global_partials), so no per-superstep aggregate job is needed
+    needs_global_stats = False
     columns = {
         "val": pa.float64(),
         "deg": pa.int64(),
         "delta": pa.float64(),
         "dangling": pa.float64(),
+        "gdangling": pa.float64(),
         "in_msgs": pa.int64(),
     }
 
@@ -54,7 +57,11 @@ class PageRankKernel(Kernel):
         val = np.full(n, 1.0 / self._num_vertices)  # PR(0) uniform
         return {"val": val, "deg": deg, "delta": np.zeros(n),
                 "dangling": np.where(deg == 0, val, 0.0),
-                "in_msgs": np.zeros(n, np.int64)}
+                "gdangling": np.zeros(n), "in_msgs": np.zeros(n, np.int64)}
+
+    def global_partials(self, v, cols):
+        deg = cols["deg"]
+        return {"gdangling": float(cols["val"][deg == 0].sum())}
 
     def scatter(self, csr: CSRPart, v, cols):
         deg = cols["deg"]
@@ -80,13 +87,18 @@ class PageRankKernel(Kernel):
             order = np.lexsort((msgs["val"], msgs["v"]))
             mv, mw = msgs["v"][order], msgs["val"][order]
             np.add.at(msum, mv - begin, mw)
-        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
-        dangling_prev = float(ctx["globals"].get("dangling_mass") or 0.0)
+        in_msgs = np.bincount((msgs["v"] - begin).astype(np.int64),
+                              minlength=n).astype(np.int64)
+        gp = ctx.get("global_partials") or {}
+        dangling_prev = float(
+            gp.get("gdangling", ctx["globals"].get("dangling_mass") or 0.0)
+        )
         val = (1.0 - d) / N + d * (msum[v - begin] + dangling_prev / N)
         delta = np.abs(val - old)
+        deg = deg.astype(np.int64)
         return {"v": v, "val": val, "deg": deg, "delta": delta,
                 "dangling": np.where(deg == 0, val, 0.0),
-                "in_msgs": in_msgs}
+                "gdangling": np.zeros(len(v)), "in_msgs": in_msgs}
 
     def stat_aggs(self):
         return [Max(on="delta", alias_name="max_delta"),

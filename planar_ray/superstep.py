@@ -59,7 +59,7 @@ from ray.data.aggregate import Max, Sum
 from .graph import CSRPart, Graph, part_of
 from .util import read_json, write_json_atomic
 
-ROLE_STATE, ROLE_MSG = 0, 1
+ROLE_STATE, ROLE_MSG, ROLE_GLOBAL = 0, 1, 2
 _BASE_FIELDS = [("part", pa.int64()), ("v", pa.int64()), ("role", pa.int8())]
 
 
@@ -89,6 +89,15 @@ class Kernel:
 
     def apply(self, begin: int, end: int, state: dict, msgs: dict, ctx: dict) -> dict:
         raise NotImplementedError
+
+    def global_partials(self, v: np.ndarray, cols: dict) -> dict | None:
+        """Optional: per-batch contributions to GLOBAL scalars (e.g.
+        PageRank's dangling mass). Returned {col: scalar} is replicated to
+        every partition as role-2 rows riding the same shuffle, so the
+        next apply sees the global value WITHOUT a separate aggregate job
+        per superstep (summed per column, sorted first for determinism,
+        into ctx['global_partials'])."""
+        return None
 
     def stat_aggs(self) -> list:
         return [Max(on="delta", alias_name="max_delta"),
@@ -208,10 +217,21 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
     """
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
+    P = len(boundaries_list) - 1
+
     def scatter_fn(batch: pa.Table) -> pa.Table:
         k = _kernel_from_ref(run_id, kernel_ref)
         outs = [batch]  # state passthrough (role=0)
         v = batch["v"].to_numpy(zero_copy_only=False)
+        gp = k.global_partials(
+            v, {n: batch[n].to_numpy(zero_copy_only=False)
+                for n in k.columns if n in batch.column_names}
+        )
+        if gp:
+            # replicate this batch's global partial to every partition
+            gv = boundaries[:-1]
+            outs.append(k.rows(np.arange(P, dtype=np.int64), gv, ROLE_GLOBAL,
+                               {n: np.full(P, val) for n, val in gp.items()}))
         if "active" in k.columns:
             act = batch["active"].to_numpy(zero_copy_only=False).astype(bool)
             if not act.any():
@@ -242,15 +262,24 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
         begin, end = int(boundaries[part]), int(boundaries[part + 1])
         role = t["role"].to_numpy(zero_copy_only=False)
         is_state = role == ROLE_STATE
+        is_msg = role == ROLE_MSG
+        is_gbl = role == ROLE_GLOBAL
         names = [n for n in kernel.columns]
         cols = {n: t[n].to_numpy(zero_copy_only=False) for n in names}
         vv = t["v"].to_numpy(zero_copy_only=False)
         state = {"v": vv[is_state]}
-        msgs = {"v": vv[~is_state]}
+        msgs = {"v": vv[is_msg]}
         for n in names:
             state[n] = cols[n][is_state]
-            msgs[n] = cols[n][~is_state]
-        new = kernel.apply(begin, end, state, msgs, ctx)
+            msgs[n] = cols[n][is_msg]
+        local_ctx = ctx
+        if is_gbl.any():
+            local_ctx = dict(ctx)
+            local_ctx["global_partials"] = {
+                n: float(np.sort(cols[n][is_gbl]).sum()) for n in names
+                if not np.all(np.isnan(cols[n][is_gbl].astype(np.float64)))
+            }
+        new = kernel.apply(begin, end, state, msgs, local_ctx)
         v_new = new.pop("v")
         return kernel.rows(np.full(len(v_new), part, np.int64), v_new,
                            ROLE_STATE, new)
@@ -305,9 +334,14 @@ class Engine:
         kernel: Kernel,
         run_dir: str | None = None,
         checkpoint_every: int = 0,
-        scatter_batch: int = 256_000,
+        scatter_batch: int | None = None,
         stats_every: int = 1,
     ):
+        # scatter_batch=None -> one batch per state block (= per partition,
+        # thanks to the repartition(P) barrier), so scatter parallelism —
+        # and, downstream, the sort shuffle's task count — equals P.
+        # A fixed large batch_size would coalesce blocks and serialise the
+        # whole superstep (measured: 2 scatter tasks -> 1-task sort).
         import uuid
 
         import ray
@@ -379,10 +413,14 @@ class Engine:
                           self._apply_boundaries, ctx),
             batch_format="pyarrow",
         )
-        # Ray's sort shuffle emits one block per INPUT block — without this
-        # coalesce the state's block count would grow every superstep
-        new = new.repartition(len(self._apply_boundaries) - 1)
+        # Ray's sort shuffle emits one block per input block, and apply is
+        # 1:1, so block count stays = P across supersteps with no explicit
+        # coalesce. Guard against drift (e.g. a resumed state read from
+        # many parquet fragments) with a cheap conditional repartition.
+        P = len(self._apply_boundaries) - 1
         new = new.materialize()
+        if new.num_blocks() > 2 * P:
+            new = new.repartition(P).materialize()
         # materialize() caches blocks but KEEPS the logical plan chain; after
         # a few hundred supersteps plan traversal overflows the Python stack
         # (RecursionError). Rebuild a lineage-free dataset over the same
