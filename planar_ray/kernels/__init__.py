@@ -1,11 +1,16 @@
-from .pagerank import PageRankKernel, ReferencePageRankKernel, pagerank, pagerank_reference
-from .wcc import WCCKernel, wcc
+from .coloring import ColoringKernel, coloring
+from .gnn import GNNKernel, gnn
 from .lpa import LPAKernel, lpa
-from .sssp import SSSPKernel, sssp, khop_counts
+from .pagerank import PageRankKernel, ReferencePageRankKernel, pagerank, pagerank_reference
+from .randomwalk import random_walk, road_dataset
+from .sssp import SSSPKernel, khop_counts, sssp
 from .triangle import triangle_count
+from .wcc import WCCKernel, wcc
 
 __all__ = [
     "PageRankKernel", "ReferencePageRankKernel", "pagerank", "pagerank_reference",
     "WCCKernel", "wcc", "LPAKernel", "lpa",
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
+    "ColoringKernel", "coloring", "GNNKernel", "gnn",
+    "random_walk", "road_dataset",
 ]

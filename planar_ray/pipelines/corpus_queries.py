@@ -20,7 +20,8 @@ from .. import corpus as C
 from .. import graph as G
 from .. import ingest
 from ..joins import hash_bucket_join
-from ..kernels import lpa, pagerank, triangle_count, wcc
+from ..kernels import coloring, gnn, lpa, pagerank, random_walk, triangle_count, wcc
+from ..kernels.gnn import FDIM
 
 SPEC = C.SMALL
 
@@ -98,10 +99,42 @@ def q_corpus_triangles(sf_dir: str) -> pa.Table:
     return pa.table({"triangles": pa.array([triangle_count(g)], pa.int64())})
 
 
+def q_corpus_coloring(sf_dir: str) -> pa.Table:
+    g, vdict = _build()
+    state, _eng = coloring(g)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "color": pa.array(df["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_corpus_randomwalk(sf_dir: str) -> pa.Table:
+    g, _ = _build()
+    out = random_walk(g).to_pandas().sort_values("origin")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_corpus_gnn(sf_dir: str) -> pa.Table:
+    g, vdict = _build()
+    state, _eng = gnn(g, layers=2)
+    cols = [f"f{j}" for j in range(FDIM)]
+    df = _with_keys(state, vdict, cols)
+    data = {"node_key": pa.array(df["key"])}
+    for c in cols:
+        data[c] = pa.array(np.round(df[c].to_numpy(), 9))
+    return pa.table(data)
+
+
 QUERIES = {
     "corpus_edges": q_corpus_edges,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_wcc": q_corpus_wcc,
     "corpus_lpa": q_corpus_lpa,
     "corpus_triangles": q_corpus_triangles,
+    "corpus_coloring": q_corpus_coloring,
+    "corpus_randomwalk": q_corpus_randomwalk,
+    "corpus_gnn": q_corpus_gnn,
 }

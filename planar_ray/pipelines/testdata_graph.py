@@ -422,8 +422,50 @@ FROM (SELECT v, MIN(d) AS dist FROM walk GROUP BY v) GROUP BY dist"""
 )
 
 
+def q_g2_hop_extrema(sf_dir: str) -> pa.Table:
+    """Per-vertex 1-hop and 2-hop min/max neighbour ids — the reference's
+    NVMe precomputing pipeline (/root/reference/nvme/precomputing/
+    basic.h:26-283, two_hop_neighbor.h) as two groupbys + one join."""
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    e = g2_edge_ids(sf_dir).materialize()
+    h1 = e.groupby("src").aggregate(
+        AMin(on="dst", alias_name="min1"), AMax(on="dst", alias_name="max1")
+    ).materialize()
+    withh = hash_bucket_join(e, h1, left_on="dst", right_on="src")
+    h2 = withh.groupby("src").aggregate(
+        AMin(on="min1", alias_name="min2"), AMax(on="max1", alias_name="max2")
+    )
+    both = hash_bucket_join(h1, h2, left_on="src", right_on="src")
+    tab = both.to_pandas().sort_values("src")
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["src"].to_numpy())),
+            "min1": pa.array(tab["min1"].astype("int64")),
+            "max1": pa.array(tab["max1"].astype("int64")),
+            "min2": pa.array(tab["min2"].astype("int64")),
+            "max2": pa.array(tab["max2"].astype("int64")),
+        }
+    )
+
+
+SQL_G2_HOP_EXTREMA = (
+    "WITH " + _G2_BASE.strip() + ",\n"
+    + """h1 AS MATERIALIZED (
+  SELECT src, MIN(dst) AS min1, MAX(dst) AS max1 FROM edges GROUP BY src),
+h2 AS (
+  SELECT e.src, MIN(h.min1) AS min2, MAX(h.max1) AS max2
+  FROM edges e JOIN h1 h ON h.src = e.dst GROUP BY e.src)
+SELECT 'p' || CAST(h1.src AS VARCHAR) AS node_key,
+       CAST(h1.min1 AS BIGINT) AS min1, CAST(h1.max1 AS BIGINT) AS max1,
+       CAST(h2.min2 AS BIGINT) AS min2, CAST(h2.max2 AS BIGINT) AS max2
+FROM h1 JOIN h2 ON h2.src = h1.src"""
+)
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
+    "g2_hop_extrema": q_g2_hop_extrema,
     "g1_pagerank": q_g1_pagerank,
     "g2_pagerank": q_g2_pagerank,
     "g2_wcc": q_g2_wcc,
@@ -435,6 +477,7 @@ QUERIES = {
 
 ORACLES = {
     "g1_degree": SQL_G1_DEGREE,
+    "g2_hop_extrema": SQL_G2_HOP_EXTREMA,
     "g1_pagerank": SQL_G1_PAGERANK,
     "g2_pagerank": SQL_G2_PAGERANK,
     "g2_wcc": SQL_G2_WCC,
