@@ -1,0 +1,123 @@
+"""CLI — the ``ray job submit`` entry point.
+
+    python -m planar_ray.cli ingest --spec small --out /tmp/g
+    python -m planar_ray.cli run --kernel pagerank --graph /tmp/g \
+        --run-dir /tmp/run1 --checkpoint-every 1 [--resume]
+    python -m planar_ray.cli kernels            # list available kernels
+
+On a cluster: ``ray job submit -- python -m planar_ray.cli run ...`` —
+the driver process stays thin (supersteps are dataset pipelines); resume
+picks up the latest per-superstep manifest in --run-dir (the
+checkpoint/lineage contract of BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_ingest(args) -> None:
+    _ensure_ray()
+    import ray.data as rd
+
+    from . import corpus, graph as G, ingest
+
+    spec = {"tiny": corpus.TINY, "small": corpus.SMALL, "bench": corpus.BENCH}[args.spec]
+    cdir = corpus.write_corpus(spec)
+    ds = rd.read_parquet(cdir)
+    files = ingest.extract_files(ds)
+    edges = ingest.build_edges(files)
+    g, _vdict = G.build_graph(edges, args.out, num_parts=args.parts)
+    print(json.dumps({"graph": args.out, "num_vertices": g.num_vertices,
+                      "num_edges": g.num_edges, "parts": g.num_parts}))
+
+
+KERNELS = ("pagerank", "pagerank_ref", "wcc", "lpa", "sssp", "coloring",
+           "gnn", "randomwalk", "triangles", "mst")
+
+
+def cmd_run(args) -> None:
+    _ensure_ray()
+    from . import graph as G
+    from . import kernels as K
+
+    g = G.Graph.load(args.graph, "fwd")
+    common = dict(run_dir=args.run_dir, checkpoint_every=args.checkpoint_every)
+    out: dict = {"kernel": args.kernel}
+    if args.kernel == "pagerank":
+        _state, eng = K.pagerank(g, resume=args.resume, **common)
+    elif args.kernel == "pagerank_ref":
+        _state, eng = K.pagerank_reference(g, iters=args.iters or 10)
+    elif args.kernel == "wcc":
+        _state, eng = K.wcc(g, resume=args.resume, **common)
+    elif args.kernel == "lpa":
+        _state, eng = K.lpa(g, max_iters=args.iters or 10, resume=args.resume, **common)
+    elif args.kernel == "sssp":
+        _state, eng = K.sssp(g, source=args.source)
+    elif args.kernel == "coloring":
+        _state, eng = K.coloring(g)
+    elif args.kernel == "gnn":
+        _state, eng = K.gnn(g, layers=args.iters or 2)
+    elif args.kernel == "randomwalk":
+        ds = K.random_walk(g)
+        print(json.dumps({"kernel": "randomwalk", "rows": ds.count()}))
+        return
+    elif args.kernel == "triangles":
+        print(json.dumps({"kernel": "triangles", "triangles": K.triangle_count(g)}))
+        return
+    elif args.kernel == "mst":
+        from .kernels.mst import boruvka
+
+        labels, forest = boruvka(g)
+        print(json.dumps({"kernel": "mst", "forest_edges": len(forest),
+                          "components": int(labels["label"].nunique())}))
+        return
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown kernel {args.kernel}")
+    out["supersteps"] = len(eng.metrics)
+    out["metrics_tail"] = [m.__dict__ for m in eng.metrics[-3:]]
+    print(json.dumps(out, default=float))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="planar_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="corpus -> partitioned graph")
+    pi.add_argument("--spec", choices=("tiny", "small", "bench"), default="small")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--parts", type=int, default=8)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pr = sub.add_parser("run", help="run a kernel on a built graph")
+    pr.add_argument("--kernel", choices=KERNELS, required=True)
+    pr.add_argument("--graph", required=True)
+    pr.add_argument("--run-dir", default=None)
+    pr.add_argument("--checkpoint-every", type=int, default=0)
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--iters", type=int, default=None)
+    pr.add_argument("--source", type=int, default=0)
+    pr.set_defaults(fn=cmd_run)
+
+    pk = sub.add_parser("kernels", help="list kernels")
+    pk.set_defaults(fn=lambda a: print("\n".join(KERNELS)))
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

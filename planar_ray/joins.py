@@ -109,7 +109,9 @@ def hash_bucket_join(
         merged = gl.merge(gr, on=left_on, how=how, sort=False)
         merged = merged.sort_values(list(merged.columns)).reset_index(drop=True)
         merged = merged[lnames + out_r_cols]
-        return merged.astype(int_casts) if int_casts else merged
+        # outer joins legitimately produce NaNs in int columns — leave those
+        casts = {c: d for c, d in int_casts.items() if merged[c].notna().all()}
+        return merged.astype(casts) if casts else merged
 
     return lt.union(rt).groupby("__bucket").map_groups(
         merge, batch_format="pandas"

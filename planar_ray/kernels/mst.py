@@ -1,0 +1,190 @@
+"""Minimum spanning forest — Borůvka rounds, reference-style.
+
+Capability parity with the reference's MST app
+(/root/reference/core/apps/mst_app_op.h:101-235): the graph is
+unweighted, so "minimum" means minimum edge KEY — the reference uses the
+CSR edge index, which for its (src,dst)-sorted CSR is exactly the
+lexicographic (src,dst) order; we key edges as ``src * V + dst`` to get
+the identical total order. Each round every component picks its
+minimum-key crossing edge (FindMinEdge), merge chains are resolved by
+pointer jumping with deterministic 2-cycle breaking (Graft/PointJump),
+and merged edges drop out (Contract). Deterministic at any parallelism;
+the NumPy oracle replays the same rounds exactly.
+
+Dataset shape per round: two label joins + per-component min
+(groupby.map_groups) + a pointer-jump join loop (log rounds on the
+component table, which shrinks geometrically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..graph import Graph
+from ..joins import hash_bucket_join
+
+
+def _crossing(edges: Dataset, labs: Dataset) -> Dataset:
+    """Edges whose endpoints are in different components, with labels."""
+    e = hash_bucket_join(edges, labs, left_on="src", right_on="v")
+    e = e.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"], "ekey": t["ekey"],
+                            "ls": t["label"]}),
+        batch_format="pyarrow",
+    )
+    e = hash_bucket_join(e, labs, left_on="dst", right_on="v")
+    return e.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t["ls"], t["label"])
+        ).select(["src", "dst", "ekey", "ls", "label"]).rename_columns(
+            ["src", "dst", "ekey", "ls", "ld"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _min_choice(crossing: Dataset) -> Dataset:
+    """(comp, to, ekey): each component's minimum-key crossing edge."""
+    both = crossing.map_batches(
+        lambda t: pa.table({
+            "comp": pa.concat_arrays([t["ls"].combine_chunks(),
+                                      t["ld"].combine_chunks()]),
+            "to": pa.concat_arrays([t["ld"].combine_chunks(),
+                                    t["ls"].combine_chunks()]),
+            "ekey": pa.concat_arrays([t["ekey"].combine_chunks(),
+                                      t["ekey"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ekey", "to"]).head(1)
+        return g[["comp", "to", "ekey"]]
+
+    return both.groupby("comp").map_groups(pick, batch_format="pandas")
+
+
+def _resolve_roots(choice: pd.DataFrame) -> pd.DataFrame:
+    """Pointer-jump the merge forest (driver-side: the CHOICE table has one
+    row per component and shrinks geometrically; at 10^12 scale these
+    rounds would run as dataset self-joins — same algorithm)."""
+    parent = dict(zip(choice["comp"].astype(int), choice["to"].astype(int)))
+    # deterministic 2-cycle break: the smaller id becomes the root
+    for c, t in list(parent.items()):
+        if parent.get(t) == c:
+            r = min(c, t)
+            parent[c] = r
+            parent[t] = r
+    # pointer jumping
+    changed = True
+    while changed:
+        changed = False
+        for c, p in parent.items():
+            pp = parent.get(p, p)
+            if pp != p:
+                parent[c] = pp
+                changed = True
+    return pd.DataFrame({"comp": list(parent), "root": [parent[c] for c in parent]})
+
+
+def boruvka(graph: Graph, max_rounds: int = 50):
+    """Returns (labels DataFrame (v, label), forest edge list DataFrame)."""
+    import ray.data as rd
+
+    V = graph.num_vertices
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"src": pa.array(a), "dst": pa.array(b),
+                         "ekey": pa.array(a * V + b)})
+
+    edges = graph.edges_dataset().map_batches(canon, batch_format="pyarrow")
+    edges = edges.groupby(["src", "dst"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    ).materialize()
+
+    labs = rd.range(V).map_batches(
+        lambda t: pa.table({"v": t["id"].combine_chunks().cast(pa.int64()),
+                            "label": t["id"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    forest: list[pd.DataFrame] = []
+    for _ in range(max_rounds):
+        crossing = _crossing(edges, labs).materialize()
+        if crossing.count() == 0:
+            break
+        choice = _min_choice(crossing).to_pandas()
+        # selected forest edges = distinct chosen ekeys
+        sel = choice.drop_duplicates("ekey")[["ekey"]]
+        forest.append(pd.DataFrame({
+            "src": (sel["ekey"] // V).astype("int64"),
+            "dst": (sel["ekey"] % V).astype("int64"),
+        }))
+        roots = _resolve_roots(choice)
+        roots_ds = rd.from_pandas(roots)
+        labs = hash_bucket_join(labs, roots_ds, left_on="label", right_on="comp",
+                                how="left")
+        labs = labs.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "label": pa.array(np.where(
+                    np.isnan(t["root"].to_numpy(zero_copy_only=False).astype(np.float64)),
+                    t["label"].to_numpy(zero_copy_only=False),
+                    t["root"].to_numpy(zero_copy_only=False),
+                ).astype(np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    labels = labs.to_pandas().sort_values("v").reset_index(drop=True)
+    fedges = (
+        pd.concat(forest).drop_duplicates().sort_values(["src", "dst"]).reset_index(drop=True)
+        if forest else pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                     "dst": pd.Series([], dtype="int64")})
+    )
+    return labels, fedges
+
+
+def boruvka_oracle(edges: np.ndarray, n: int):
+    """Same rounds in pure Python/NumPy."""
+    und = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                  for a, b in edges if a != b})
+    label = np.arange(n, dtype=np.int64)
+    forest = set()
+    for _ in range(50):
+        choice: dict[int, tuple[int, int]] = {}
+        for a, b in und:
+            la, lb = int(label[a]), int(label[b])
+            if la == lb:
+                continue
+            ekey = a * n + b
+            for c, t in ((la, lb), (lb, la)):
+                cur = choice.get(c)
+                if cur is None or (ekey, t) < cur:
+                    choice[c] = (ekey, t)
+        if not choice:
+            break
+        parent = {c: t for c, (k, t) in choice.items()}
+        for c, (k, t) in choice.items():
+            forest.add((k // n, k % n))
+        for c, t in list(parent.items()):
+            if parent.get(t) == c:
+                r = min(c, t)
+                parent[c] = r
+                parent[t] = r
+        changed = True
+        while changed:
+            changed = False
+            for c, p in parent.items():
+                pp = parent.get(p, p)
+                if pp != p:
+                    parent[c] = pp
+                    changed = True
+        label = np.array([parent.get(int(l), int(l)) for l in label], dtype=np.int64)
+    return label, sorted(forest)
