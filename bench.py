@@ -57,7 +57,9 @@ def _bench_graph(ncpu: int):
     ds = rd.read_parquet(cdir)
     files = ingest.extract_files(ds, concurrency=min(8, ncpu))
     edges = ingest.build_edges(files, num_partitions=16)
-    g, _vdict = G.build_graph(edges, root, num_parts=max(16, ncpu))
+    # fixed partition count: P beyond ~16 only adds per-superstep task
+    # dispatch on a graph this small (the scaling run sizes its own P)
+    g, _vdict = G.build_graph(edges, root, num_parts=16)
     return g, time.monotonic() - t0
 
 

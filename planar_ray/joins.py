@@ -106,8 +106,9 @@ def hash_bucket_join(
         gr = group[group["__side"] == "r"][rnames]
         if right_on != left_on:
             gr = gr.rename(columns={right_on: left_on})
+        # no row-order sort: row order inside a block is not semantic —
+        # every consumer either aggregates or sorts on its own keys
         merged = gl.merge(gr, on=left_on, how=how, sort=False)
-        merged = merged.sort_values(list(merged.columns)).reset_index(drop=True)
         merged = merged[lnames + out_r_cols]
         # outer joins legitimately produce NaNs in int columns — leave those
         casts = {c: d for c, d in int_casts.items() if merged[c].notna().all()}
