@@ -46,12 +46,13 @@ def canonical_edges(edges: Dataset) -> Dataset:
     return e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
 
 
-def triangle_count(graph: Graph, buckets: int = 64) -> int:
+def triangle_count(graph: Graph, buckets: int = 64,
+                   broadcast_threshold: int = 50_000_000) -> int:
     """Total number of triangles in the underlying undirected simple graph."""
     canon = canonical_edges(graph.edges_dataset()).materialize()
     V = graph.num_vertices
 
-    # undirected degree per endpoint
+    # undirected degree per endpoint (consumed by TWO joins -> pin once)
     deg = (
         canon.map_batches(
             lambda t: pa.table(
@@ -62,7 +63,7 @@ def triangle_count(graph: Graph, buckets: int = 64) -> int:
         )
         .groupby("v")
         .aggregate(Count(alias_name="deg"))
-    )
+    ).materialize()
 
     withdeg = hash_bucket_join(canon, deg, left_on="a", right_on="v", buckets=buckets)
     withdeg = withdeg.map_batches(
@@ -110,6 +111,29 @@ def triangle_count(graph: Graph, buckets: int = 64) -> int:
         return pa.table({"epair": pa.array(lo * V + hi)})
 
     ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    if graph.num_edges <= broadcast_threshold:
+        # close wedges with a BROADCAST semi-join: the sorted edge-key
+        # array (8 B/edge) is ray.put once and searchsorted per batch —
+        # one map+sum instead of a shuffle join (guide: semi-join = filter
+        # against a broadcast key set)
+        import ray
+
+        keys_sorted = np.sort(
+            ekeys.to_pandas()["epair"].to_numpy().astype(np.int64)
+        )
+        ref = ray.put(keys_sorted)
+
+        def count_hits(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            p = t["pair"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, p)
+            pos = np.minimum(pos, len(ks) - 1)
+            hits = int((ks[pos] == p).sum()) if len(ks) else 0
+            return pa.table({"n": pa.array([hits], pa.int64())})
+
+        return int(wkeys.map_batches(count_hits, batch_format="pyarrow").sum("n") or 0)
+
     closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
                               buckets=buckets)
     return closed.count()
