@@ -176,6 +176,14 @@ def build_edges(files: Dataset, num_partitions: int = 16) -> Dataset:
         ["src_key", "stem_key", "kind"]
     )
     stems = files.map_batches(_file_stems, batch_format="pyarrow")
+    # two files differing only by extension (a.py / a.js) share a stem;
+    # resolve deterministically to the MIN file_key (same rule as
+    # oracle_edges) so pipeline and oracle agree on collision corpora
+    from ray.data.aggregate import Min
+
+    stems = stems.groupby("stem_key").aggregate(
+        Min(on="file_key", alias_name="file_key")
+    )
     resolved = hash_bucket_join(
         file_cands, stems, left_on="stem_key", right_on="stem_key",
         buckets=num_partitions * 4,
@@ -213,10 +221,13 @@ def build_edges(files: Dataset, num_partitions: int = 16) -> Dataset:
 
 def oracle_edges(corpus: pa.Table) -> set[tuple[str, str, str]]:
     rows = corpus.to_pylist()
-    files = {}  # (repo, stem) -> full key
+    files = {}  # (repo, stem) -> full key; collisions -> min key (pipeline rule)
     for r in rows:
         stem = re.sub(r"\.(py|js|java|go|rs)$", "", r["path"])
-        files[(r["repo"], stem)] = f"{r['repo']}/{r['path']}"
+        k = (r["repo"], stem)
+        fk = f"{r['repo']}/{r['path']}"
+        if k not in files or fk < files[k]:
+            files[k] = fk
     out: set[tuple[str, str, str]] = set()
     for r in rows:
         src = f"{r['repo']}/{r['path']}"

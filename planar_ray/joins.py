@@ -38,6 +38,15 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
     return (h64_bytes_vec(col.to_pylist(), "join") % buckets).astype(np.int64)
 
 
+def _with_schema(ds: Dataset):
+    """(possibly-materialized ds, schema) without double execution."""
+    s = ds.schema(fetch_if_missing=False)
+    if s is None:
+        ds = ds.materialize()
+        s = ds.schema()
+    return ds, s
+
+
 def hash_bucket_join(
     left: Dataset,
     right: Dataset,
@@ -52,8 +61,12 @@ def hash_bucket_join(
     ``right_on`` (joined value columns must not collide by name).
     """
 
-    lschema = left.schema()  # ray.data Schema: .names + .types (arrow types)
-    rschema = right.schema()
+    # .schema(fetch_if_missing=True) on a lazy plan EXECUTES it (fully, if
+    # an all-to-all sits upstream) and the real run then re-executes it —
+    # chained joins would pay 2-3x. When the schema isn't statically
+    # known, materialize ONCE and reuse the blocks.
+    left, lschema = _with_schema(left)
+    right, rschema = _with_schema(right)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -101,9 +114,19 @@ def hash_bucket_join(
         if pa.types.is_integer(t) and n in set(lnames + out_r_cols)
     }
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        gl = group[group["__side"] == "l"][lnames]
-        gr = group[group["__side"] == "r"][rnames]
+    out_schema = pa.schema(
+        [(n, types[n]) for n in lnames] + [(n, rtypes[n]) for n in out_r_cols]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # split sides while still Arrow: each side's own columns are
+        # non-null there, so int64 keys/values never pass through pandas
+        # float64 (which silently loses precision above 2^53 — e.g.
+        # triangle pair keys y*V+z and MST ekeys at large V)
+        import pyarrow.compute as pc
+        lmask = pc.equal(group["__side"], "l")
+        gl = group.filter(lmask).select(lnames).to_pandas()
+        gr = group.filter(pc.invert(lmask)).select(rnames).to_pandas()
         if right_on != left_on:
             gr = gr.rename(columns={right_on: left_on})
         # no row-order sort: row order inside a block is not semantic —
@@ -112,8 +135,15 @@ def hash_bucket_join(
         merged = merged[lnames + out_r_cols]
         # outer joins legitimately produce NaNs in int columns — leave those
         casts = {c: d for c, d in int_casts.items() if merged[c].notna().all()}
-        return merged.astype(casts) if casts else merged
+        if casts:
+            merged = merged.astype(casts)
+        try:
+            return pa.Table.from_pandas(merged, schema=out_schema,
+                                        preserve_index=False)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # outer-join NaN columns fall back to inferred (float) types
+            return pa.Table.from_pandas(merged, preserve_index=False)
 
     return lt.union(rt).groupby("__bucket").map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )

@@ -5,12 +5,13 @@ from .pagerank import PageRankKernel, ReferencePageRankKernel, pagerank, pageran
 from .randomwalk import random_walk, road_dataset
 from .sssp import SSSPKernel, khop_counts, sssp
 from .triangle import triangle_count
-from .wcc import WCCKernel, wcc
+from .mst import boruvka
+from .wcc import WCCKernel, hop_extrema_seeds, wcc, wcc_precomputed
 
 __all__ = [
     "PageRankKernel", "ReferencePageRankKernel", "pagerank", "pagerank_reference",
     "WCCKernel", "wcc", "LPAKernel", "lpa",
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
     "ColoringKernel", "coloring", "GNNKernel", "gnn",
-    "random_walk", "road_dataset",
+    "random_walk", "road_dataset", "boruvka", "wcc_precomputed", "hop_extrema_seeds",
 ]

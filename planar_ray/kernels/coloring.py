@@ -24,16 +24,17 @@ from ray.data.aggregate import Sum
 
 from ..graph import CSRPart, Graph, derive_direction
 from ..superstep import Engine, Kernel
-from ..util import h64
+from ..util import splitmix64
 
 RAND_MAX = 10  # reference's -rand_max default bound on the increment
+MIX_K = 1000003  # (vertex, round) -> distinct mixer inputs for rounds < MIX_K
 
 
 def _increments(v: np.ndarray, rnd: int) -> np.ndarray:
-    out = np.empty(len(v), dtype=np.int64)
-    for i, vid in enumerate(v):
-        out[i] = h64("color", int(vid), rnd) % RAND_MAX + 1
-    return out
+    """Deterministic per-(vertex, round) increment in [1, RAND_MAX] —
+    vectorised splitmix64, replicable by a SQL oracle (HUGEINT math)."""
+    x = v.astype(np.uint64) * np.uint64(MIX_K) + np.uint64(rnd)
+    return (splitmix64(x) % np.uint64(RAND_MAX)).astype(np.int64) + 1
 
 
 class ColoringKernel(Kernel):
@@ -117,6 +118,5 @@ def coloring_oracle(edges: np.ndarray, n: int, max_rounds: int = 500) -> np.ndar
         if not conflict.any():
             break
         idx = np.flatnonzero(conflict)
-        colors[idx] += np.array([h64("color", int(u), rnd) % RAND_MAX + 1
-                                 for u in idx])
+        colors[idx] += _increments(idx.astype(np.int64), rnd)
     return colors

@@ -46,25 +46,54 @@ def _crossing(edges: Dataset, labs: Dataset) -> Dataset:
     )
 
 
+MIN_CHOICE_BUCKETS = 64
+
+
+def _pick_min(t: pa.Table) -> pa.Table:
+    """Vectorised per-component min-(ekey, to): lexsort + first-per-group
+    (the combine_min idiom) — one numpy pass, not one Python call per
+    component."""
+    comp = t["comp"].to_numpy(zero_copy_only=False)
+    to = t["to"].to_numpy(zero_copy_only=False)
+    ekey = t["ekey"].to_numpy(zero_copy_only=False)
+    if len(comp) == 0:
+        return pa.schema([("comp", pa.int64()), ("to", pa.int64()),
+                          ("ekey", pa.int64())]).empty_table()
+    order = np.lexsort((to, ekey, comp))
+    comp, to, ekey = comp[order], to[order], ekey[order]
+    first = np.ones(len(comp), dtype=bool)
+    first[1:] = comp[1:] != comp[:-1]
+    return pa.table({"comp": pa.array(comp[first]), "to": pa.array(to[first]),
+                     "ekey": pa.array(ekey[first])})
+
+
 def _min_choice(crossing: Dataset) -> Dataset:
-    """(comp, to, ekey): each component's minimum-key crossing edge."""
+    """(comp, to, ekey): each component's minimum-key crossing edge.
+    Per-batch combiner first, then a bounded-bucket shuffle with the same
+    vectorised pick per bucket."""
     both = crossing.map_batches(
-        lambda t: pa.table({
+        lambda t: _pick_min(pa.table({
             "comp": pa.concat_arrays([t["ls"].combine_chunks(),
                                       t["ld"].combine_chunks()]),
             "to": pa.concat_arrays([t["ld"].combine_chunks(),
                                     t["ls"].combine_chunks()]),
             "ekey": pa.concat_arrays([t["ekey"].combine_chunks(),
                                       t["ekey"].combine_chunks()]),
-        }),
+        })),
         batch_format="pyarrow",
     )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ekey", "to"]).head(1)
-        return g[["comp", "to", "ekey"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t["comp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = (c ^ (c >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        b = (c % np.uint64(MIN_CHOICE_BUCKETS)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
 
-    return both.groupby("comp").map_groups(pick, batch_format="pandas")
+    return both.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(
+        lambda t: _pick_min(t.drop_columns(["bucket"])), batch_format="pyarrow"
+    )
 
 
 def _resolve_roots(choice: pd.DataFrame) -> pd.DataFrame:
@@ -103,10 +132,15 @@ def boruvka(graph: Graph, max_rounds: int = 50):
         return pa.table({"src": pa.array(a), "dst": pa.array(b),
                          "ekey": pa.array(a * V + b)})
 
+    from ray.data.aggregate import Count, Min
+
     edges = graph.edges_dataset().map_batches(canon, batch_format="pyarrow")
-    edges = edges.groupby(["src", "dst"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).materialize()
+    # exact dedup of canonical pairs: one aggregate shuffle (ekey is a
+    # function of (src,dst), so Min just carries it through), not one
+    # Python call per distinct edge
+    edges = edges.groupby(["src", "dst"]).aggregate(
+        Min(on="ekey", alias_name="ekey")
+    ).select_columns(["src", "dst", "ekey"]).materialize()
 
     labs = rd.range(V).map_batches(
         lambda t: pa.table({"v": t["id"].combine_chunks().cast(pa.int64()),
@@ -119,6 +153,11 @@ def boruvka(graph: Graph, max_rounds: int = 50):
         crossing = _crossing(edges, labs).materialize()
         if crossing.count() == 0:
             break
+        # CONTRACT (reference wcc/mst Contract, mutable_block_csr_graph.h:
+        # 168-263): edges inside a merged component can never cross again,
+        # so the next round scans only this round's crossing set — the
+        # live edge table shrinks geometrically with the components.
+        edges = crossing.select_columns(["src", "dst", "ekey"])
         choice = _min_choice(crossing).to_pandas()
         # selected forest edges = distinct chosen ekeys
         sel = choice.drop_duplicates("ekey")[["ekey"]]

@@ -22,22 +22,28 @@ from ray.data import Dataset
 
 from ..graph import Graph
 from ..joins import hash_bucket_join
-from ..util import h64
+from ..util import splitmix64
 
 WALK_LENGTH = 5
+MIX_K = 131  # (vertex, step) -> distinct mixer inputs for steps < MIX_K
 
 
 def _samples_for(csr, v: np.ndarray, L: int) -> np.ndarray:
-    """(len(v), L) sampled next-hops, deterministic per (vertex, step)."""
+    """(len(v), L) sampled next-hops, deterministic per (vertex, step) —
+    one vectorised splitmix64 pass over the (vertices x steps) grid, no
+    per-row hashing loop. SQL-replicable (HUGEINT math + ROW_NUMBER
+    adjacency index)."""
     deg = csr.degrees(v)
     out = np.tile(v[:, None], (1, L))  # deg==0 -> stay (reference semantics)
-    nz = np.flatnonzero(deg > 0)
-    for idx in nz:
-        vid = int(v[idx])
-        start = csr.indptr[vid - csr.begin]
-        d = int(deg[idx])
-        for i in range(L):
-            out[idx, i] = csr.indices[start + h64("rw", vid, i) % d]
+    nz = deg > 0
+    if not nz.any():
+        return out
+    vv = v[nz].astype(np.uint64)
+    starts = csr.indptr[v[nz] - csr.begin]
+    steps = np.arange(L, dtype=np.uint64)
+    mixed = splitmix64(vv[:, None] * np.uint64(MIX_K) + steps[None, :])
+    idx = (mixed % deg[nz].astype(np.uint64)[:, None]).astype(np.int64)
+    out[nz] = csr.indices[starts[:, None] + idx]
     return out
 
 
@@ -106,10 +112,12 @@ def random_walk_oracle(edges: np.ndarray, n: int, L: int = WALK_LENGTH) -> np.nd
     np.add.at(deg, e[:, 0], 1)
     indptr = np.concatenate([[0], np.cumsum(deg)])
     road = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, L))
-    for v in range(n):
-        if deg[v]:
-            for i in range(L):
-                road[v, i] = e[int(indptr[v]) + h64("rw", v, i) % int(deg[v]), 1]
+    nz = deg > 0
+    vv = np.arange(n, dtype=np.uint64)[nz]
+    steps = np.arange(L, dtype=np.uint64)
+    mixed = splitmix64(vv[:, None] * np.uint64(MIX_K) + steps[None, :])
+    idx = (mixed % deg[nz].astype(np.uint64)[:, None]).astype(np.int64)
+    road[nz] = e[indptr[:-1][nz][:, None] + idx, 1]
     cur = np.arange(n, dtype=np.int64)
     for i in range(L):
         cur = road[cur, i]

@@ -1,24 +1,32 @@
 """Similarity search over the ``embeddings`` table (vec_id, embedding, label).
 
+All four operators are distributed — NOTHING materialises the embeddings
+table on the driver:
+
 * ``ann_topk`` — brute-force cosine top-k for a deterministic query set
-  (the Q lowest vec_ids): the query matrix is broadcast once with
-  ``ray.put`` and every batch does one numpy matmul against it; batches
-  pre-select their local top-k (combiner) before the per-query
-  ``groupby`` final ranking. Oracle: DuckDB ``list_cosine_similarity``.
-* ``ann_neardup`` — all pairs above a cosine threshold (embedding
-  near-duplicate detection). Oracle: cross-join SQL.
+  (the Q lowest vec_ids, fetched via a distributed ``sort + limit``):
+  the tiny query matrix is broadcast once with ``ray.put`` and every
+  batch does one numpy matmul against it; batches pre-select their
+  local top-k (combiner) before the per-query ``groupby`` final
+  ranking. Oracle: DuckDB ``list_cosine_similarity``.
+* ``ann_neardup`` — all pairs above a cosine threshold. Exact all-pairs
+  is inherently quadratic; it runs as a BLOCKED cross product: the
+  matrix is chunked into the object store (one ``ray.put`` per chunk,
+  streamed — the driver holds one batch + the ref list, never the
+  table), and every batch task scans the chunks (node-cached by the
+  object store). The sub-quadratic scale path is the LSH bucketing of
+  ``ann_lsh_topk``. Oracle: cross-join SQL.
 * ``ann_knn_label`` — majority label of the 10 nearest neighbours
-  (excluding self), ties -> smaller label. Oracle: SQL window over the
-  cross join.
-* ``ann_lsh_topk`` — the documented scale path (rows-only): random-
-  hyperplane signatures bucket the vectors; per-bucket brute force.
+  (excluding self), ties -> smaller label; same blocked-chunk scan with
+  a per-chunk top-k combiner (vectorised, no per-row Python loop).
+  Oracle: SQL window over the cross join.
+* ``ann_lsh_topk`` — the scale path, now real stages: a signature
+  ``map_batches`` tags every vector with its random-hyperplane bucket,
+  vectors sharing a bucket with a query are ``groupby(bucket)``-ed and
+  brute-forced per group. Approximate (rows-only; pytest checks recall).
 
 Similarities are computed in float64 and ROUNDED to 6 digits BEFORE
 ranking on both sides, so tie-breaks (`vec_id` asc) are identical.
-
-Scale: the broadcast full matrix is the sf<=0.1 shortcut; at larger
-scale ann_lsh_topk's bucket shuffle is the path — each bucket holds a
-bounded slice, and queries join only their own buckets.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ N_QUERIES = 5
 TOP_K = 10
 NEARDUP_TAU = 0.4
 LSH_BITS = 8
+CHUNK_ROWS = 8192  # blocked-scan chunk size (bounded object-store slabs)
 
 
 def _read_emb(sf_dir: str) -> Dataset:
@@ -42,28 +51,58 @@ def _read_emb(sf_dir: str) -> Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _full_matrix(sf_dir: str):
-    """(vec_ids, L2-normalised float64 matrix) — broadcastable."""
-    tab = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
-    ids = tab["vec_id"].to_numpy().astype(np.int64)
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in tab["embedding"]])
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    return ids, m / np.maximum(norms, 1e-30), tab["label"].to_numpy().astype(np.int64)
+def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Batch -> (int64 vec_ids, L2-normalised float64 matrix). Vectorised:
+    the list column is flattened once and reshaped (fixed embedding dim)."""
+    vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    m = flat.reshape(len(vid), -1)
+    return vid, m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _query_set(sf_dir: str):
+    """(q_ids, q_mat): the N_QUERIES lowest vec_ids, via distributed
+    sort+limit — only Q rows ever reach the driver."""
+    rows = _read_emb(sf_dir).sort("vec_id").limit(N_QUERIES).take_all()
+    q_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return q_ids, m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _chunk_refs(sf_dir: str) -> list:
+    """Normalised-matrix chunks pinned in the object store.
+
+    Built by STREAMING batches through the driver (`iter_batches`):
+    driver memory is bounded by one chunk; the full matrix lives only as
+    object-store slabs that worker tasks read zero-copy (and the store
+    caches per node / spills under pressure).
+    """
+    import ray
+
+    refs = []
+    ds = _read_emb(sf_dir)
+    for t in ds.iter_batches(batch_size=CHUNK_ROWS, batch_format="pyarrow"):
+        vid, m = _norm_rows(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs.append(ray.put((vid, m, lab)))
+    return refs
+
+
+_EMPTY_SIMS = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+)
 
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray
 
-    ids, mat, _ = _full_matrix(sf_dir)
-    q_ids = ids[:N_QUERIES]
-    q_mat = mat[:N_QUERIES]
+    q_ids, q_mat = _query_set(sf_dir)
     ref = ray.put((q_ids, q_mat))
 
     def sims(t: pa.Table) -> pa.Table:
         qi, qm = ray.get(ref)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        vid, m = _norm_rows(t)
         s = np.round(m @ qm.T, 6)  # (batch, Q) — rounded BEFORE ranking
         out_q, out_v, out_s = [], [], []
         for j in range(len(qi)):
@@ -73,6 +112,8 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
             out_q.append(np.full(take, qi[j], np.int64))
             out_v.append(vid[idx])
             out_s.append(col[idx])
+        if not out_q:
+            return _EMPTY_SIMS.empty_table()
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -117,28 +158,33 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def q_ann_neardup(sf_dir: str) -> pa.Table:
+    """Exact near-duplicate pairs via a blocked chunk scan (no driver
+    matrix, no per-row Python loop — 2-D mask -> nonzero)."""
     import ray
 
-    ids, mat, _ = _full_matrix(sf_dir)
-    ref = ray.put((ids, mat))
+    refs = _chunk_refs(sf_dir)
 
     def pairs(t: pa.Table) -> pa.Table:
-        aid, am = ray.get(ref)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        s = np.round(m @ am.T, 6)
+        vid, m = _norm_rows(t)
         rows_a, rows_b, rows_s = [], [], []
-        for i in range(len(vid)):
-            mask = (s[i] >= NEARDUP_TAU) & (aid > vid[i])  # a < b once
-            rows_a.append(np.full(mask.sum(), vid[i], np.int64))
-            rows_b.append(aid[mask])
-            rows_s.append(s[i][mask])
+        for ref in refs:
+            aid, am, _ = ray.get(ref)
+            s = np.round(m @ am.T, 6)
+            mask = (s >= NEARDUP_TAU) & (aid[None, :] > vid[:, None])
+            i, j = np.nonzero(mask)
+            rows_a.append(vid[i])
+            rows_b.append(aid[j])
+            rows_s.append(s[i, j])
+        a = np.concatenate(rows_a) if rows_a else np.empty(0, np.int64)
         return pa.table(
             {
-                "vec_a": pa.array(np.concatenate(rows_a) if rows_a else []),
-                "vec_b": pa.array(np.concatenate(rows_b) if rows_b else []),
-                "sim": pa.array(np.concatenate(rows_s) if rows_s else []),
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(
+                    np.concatenate(rows_b) if rows_b else np.empty(0, np.int64),
+                    pa.int64()),
+                "sim": pa.array(
+                    np.concatenate(rows_s) if rows_s else np.empty(0, np.float64),
+                    pa.float64()),
             }
         )
 
@@ -158,25 +204,40 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_ann_knn_label(sf_dir: str) -> pa.Table:
+    """Exact 10-NN majority label: blocked chunk scan with a per-chunk
+    top-k combiner, then a fully vectorised merge + vote (argsort twice
+    = lexsort by (-sim, id); bincount matrix = majority with min-label
+    tie-break)."""
     import ray
 
-    ids, mat, labels = _full_matrix(sf_dir)
-    ref = ray.put((ids, mat, labels))
+    refs = _chunk_refs(sf_dir)
 
     def vote(t: pa.Table) -> pa.Table:
-        aid, am, lab = ray.get(ref)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        s = np.round(m @ am.T, 6)
-        preds = np.empty(len(vid), dtype=np.int64)
-        for i in range(len(vid)):
-            order = np.lexsort((aid, -s[i]))
-            order = order[aid[order] != vid[i]][:TOP_K]
-            nl = lab[order]
-            uniq, cnt = np.unique(nl, return_counts=True)
-            win = uniq[np.lexsort((uniq, -cnt))][0]
-            preds[i] = win
+        vid, m = _norm_rows(t)
+        b = len(vid)
+        cs, ci, cl = [], [], []
+        for ref in refs:
+            aid, am, lab = ray.get(ref)
+            s = np.round(m @ am.T, 6)
+            s[aid[None, :] == vid[:, None]] = -np.inf  # exclude self
+            k = min(TOP_K, s.shape[1])
+            # per-chunk top-k combiner (argpartition then exact ordering later)
+            part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+            cs.append(np.take_along_axis(s, part, axis=1))
+            ci.append(aid[part])
+            cl.append(lab[part])
+        S = np.concatenate(cs, axis=1)
+        I = np.concatenate(ci, axis=1)
+        L = np.concatenate(cl, axis=1)
+        # exact (sim desc, vec_id asc) order: stable argsort by id, then by -sim
+        o1 = np.argsort(I, axis=1, kind="stable")
+        S, I, L = (np.take_along_axis(x, o1, axis=1) for x in (S, I, L))
+        o2 = np.argsort(-S, axis=1, kind="stable")
+        L = np.take_along_axis(L, o2, axis=1)[:, :TOP_K]
+        nlab = int(L.max()) + 1 if L.size else 1
+        counts = np.zeros((b, nlab), dtype=np.int64)
+        np.add.at(counts, (np.repeat(np.arange(b), L.shape[1]), L.ravel()), 1)
+        preds = counts.argmax(axis=1)  # first max = smallest label (tie-break)
         return pa.table({"vec_id": pa.array(vid), "pred_label": pa.array(preds)})
 
     out = _read_emb(sf_dir).map_batches(vote, batch_format="pyarrow").to_pandas()
@@ -203,34 +264,64 @@ FROM winner WHERE rn = 1
 """
 
 
-def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
-    """Approximate top-k via random-hyperplane LSH buckets (scale path).
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(23)
+    return rng.standard_normal((dim, LSH_BITS))
 
-    Rows-only: approximation quality is data-dependent; pytest checks
-    recall against the brute-force result instead of a SQL oracle.
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    sig = (m @ planes > 0).astype(np.uint8)
+    return np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+
+
+def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100-TB
+    scale path, as real distributed stages:
+
+      signature map_batches (vec_id, bucket, embedding)
+        -> filter to buckets any query hashes to
+        -> groupby('bucket').map_groups(per-bucket brute force)
+
+    Each bucket holds a bounded slice of the corpus; queries join only
+    their own buckets. Rows-only (approximation quality is
+    data-dependent; pytest checks recall against brute force).
     """
     import ray
 
-    ids, mat, _ = _full_matrix(sf_dir)
-    rng = np.random.default_rng(23)
-    planes = rng.standard_normal((mat.shape[1], LSH_BITS))
-    sig = (mat @ planes > 0).astype(np.uint8)
-    bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
-    q_ids = ids[:N_QUERIES]
-    ref = ray.put((ids, mat, bucket, q_ids, mat[:N_QUERIES], bucket[:N_QUERIES]))
+    q_ids, q_mat = _query_set(sf_dir)
+    planes = _lsh_planes(q_mat.shape[1])
+    q_buckets = _bucket_of(q_mat, planes)
+    ref = ray.put((q_ids, q_mat, q_buckets))
+    wanted = sorted(set(int(b) for b in q_buckets))
+
+    def tag(t: pa.Table) -> pa.Table:
+        vid, m = _norm_rows(t)
+        b = _bucket_of(m, planes)
+        keep = np.isin(b, wanted)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[keep], pa.int64()),
+                "bucket": pa.array(b[keep], pa.int64()),
+                "embedding": t["embedding"].combine_chunks().filter(pa.array(keep)),
+            }
+        )
+
+    tagged = _read_emb(sf_dir).map_batches(tag, batch_format="pyarrow")
 
     def topk_in_bucket(t: pa.Table) -> pa.Table:
-        aid, am, ab, qi, qm, qb = ray.get(ref)
+        qi, qm, qb = ray.get(ref)
+        bucket = int(t["bucket"][0].as_py())
+        cand_ids, cand = _norm_rows(t)
         out_q, out_v, out_s = [], [], []
-        for j in range(len(qi)):
-            mask = ab == qb[j]
-            cand_ids, cand = aid[mask], am[mask]
+        for j in np.flatnonzero(qb == bucket):
             s = np.round(cand @ qm[j], 6)
             take = min(TOP_K, len(s))
             idx = np.lexsort((cand_ids, -s))[:take]
             out_q.append(np.full(take, qi[j], np.int64))
             out_v.append(cand_ids[idx])
             out_s.append(s[idx])
+        if not out_q:
+            return _EMPTY_SIMS.empty_table()
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -239,9 +330,12 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
             }
         )
 
-    import ray.data as rd
-
-    out = rd.range(1).map_batches(topk_in_bucket, batch_format="pyarrow").to_pandas()
+    out = tagged.groupby("bucket").map_groups(
+        topk_in_bucket, batch_format="pyarrow"
+    ).to_pandas()
+    out = out.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -19,11 +19,17 @@ Rows-only (not SQL-expressible; verified by pytest instead):
 
 Scale notes: every per-doc computation is a stateless ``map_batches``
 stage (regexes/seeds prepared once per actor in ``__init__`` where
-stateful); LSH candidates go through ``groupby(band, hash)`` — the
-standard shingle->minhash->band->bucket shuffle; the final union-find
-runs on the driver ONLY because candidate pairs are provably tiny
-relative to the corpus (bounded by bucket collisions); at 10^12 docs the
-same pairs feed the WCC kernel instead (documented switch).
+stateful); LSH candidates go through the standard shingle -> minhash ->
+band -> bucket shuffle (band buckets hashed into a bounded number of
+shuffle groups, pair expansion vectorised per group); the exact-Jaccard
+VERIFY step is distributed too — candidate pairs hash-bucket-join the
+per-doc shingle-set table twice (doc_a, doc_b) and Jaccard is computed
+inside the joined batches, so the documents table is never read to the
+driver. Only the final union-find over VERIFIED pairs runs driver-side,
+because verified pairs are provably tiny relative to the corpus; at
+10^12 docs the same pairs feed the WCC kernel instead (documented
+switch). All shingle/band/token hashing goes through the vectorised
+siphash kernel (util.h64_bytes_vec) — no per-row hashlib loops.
 """
 
 from __future__ import annotations
@@ -39,7 +45,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..joins import hash_bucket_join
-from ..util import h64
+from ..util import h64_bytes_vec, splitmix64
 
 TOKEN_RE = "[a-z0-9_]+"  # RE2-safe, identical semantics in pyarrow + DuckDB
 STOPWORDS = {
@@ -56,6 +62,7 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16  # x 4 rows
 MERSENNE = (1 << 61) - 1
 JACCARD_TAU = 0.5
+DEDUP_SHUFFLE_BUCKETS = 64  # bounded shuffle groups for band-bucket pairing
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
@@ -121,23 +128,36 @@ FROM documents
 _ALL_STOPS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 
+def _stop_counts(low: pa.ChunkedArray | pa.Array, words: list[str]) -> np.ndarray:
+    """Σ standalone-word occurrences of ``words`` — vectorised RE2 passes.
+
+    ``\\b<w>\\b`` on lowered text counts exactly the TOKEN_RE tokens equal
+    to ``w`` (token chars are [a-z0-9_] = \\w after lower()), so this is
+    bit-identical to the per-token membership loop it replaces.
+    """
+    total = None
+    for w in words:
+        c = pc.count_substring_regex(low, rf"\b{w}\b").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        total = c if total is None else total + c
+    return total if total is not None else np.zeros(len(low))
+
+
 def q_doc_quality(sf_dir: str) -> pa.Table:
-    """Quality score: stopword ratio + capped length + low punctuation."""
+    """Quality score: stopword ratio + capped length + low punctuation.
+    Fully vectorised: every count is a pyarrow RE2 kernel, no Python
+    loop over rows or tokens."""
     docs = _read_docs(sf_dir)
-    stops = set(_ALL_STOPS)
-    tok_re = re.compile(TOKEN_RE)
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_chars = np.array([len(s) for s in texts], dtype=np.float64)
-        punct = np.array(
-            [len(re.findall(PUNCT_RE, s)) for s in texts], dtype=np.float64
-        )
-        toks = [tok_re.findall(s.lower()) for s in texts]
-        words = np.array([len(x) for x in toks], dtype=np.float64)
-        stop_hits = np.array(
-            [sum(1 for w in x if w in stops) for x in toks], dtype=np.float64
-        )
+        low = pc.utf8_lower(t["text"])
+        n_chars = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        punct = pc.count_substring_regex(t["text"], PUNCT_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        words = pc.count_substring_regex(low, TOKEN_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        stop_hits = _stop_counts(low, _ALL_STOPS)
         punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
         stop_ratio = np.where(words > 0, stop_hits / words, 0.0)
         quality = (
@@ -184,20 +204,20 @@ FROM r
 
 
 def q_doc_langid(sf_dir: str) -> pa.Table:
-    """Stopword-profile language heuristic; ties -> alphabetically first."""
+    """Stopword-profile language heuristic; ties -> alphabetically first.
+    Vectorised: one RE2 count pass per stopword, argmax over the (docs,
+    langs) score matrix (first max = alphabetically-first tie-break)."""
     docs = _read_docs(sf_dir)
-    profiles = {lang: set(ws) for lang, ws in STOPWORDS.items()}
-    langs = sorted(profiles)
-    tok_re = re.compile(TOKEN_RE)
+    langs = sorted(STOPWORDS)
 
     def classify(t: pa.Table) -> pa.Table:
-        preds = []
-        for s in t["text"].to_pylist():
-            toks = tok_re.findall(s.lower())
-            scores = [(sum(1 for w in toks if w in profiles[lg]), lg) for lg in langs]
-            best = max(scores, key=lambda x: (x[0], [-ord(c) for c in x[1]]))
-            preds.append(best[1])
-        return pa.table({"doc_id": t["doc_id"], "pred_lang": pa.array(preds)})
+        low = pc.utf8_lower(t["text"])
+        scores = np.stack(
+            [_stop_counts(low, STOPWORDS[lg]) for lg in langs], axis=1
+        )
+        best = np.asarray(langs, dtype=object)[scores.argmax(axis=1)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": pa.array(best, pa.string())})
 
     out = docs.map_batches(classify, batch_format="pyarrow").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
@@ -232,18 +252,49 @@ SQL_DOC_LANGID = _langid_sql()
 # rows-only near-dup suite
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, tok_re) -> np.ndarray:
-    toks = tok_re.findall(text.lower())
-    if len(toks) < 3:
-        toks = toks + ["_pad"] * (3 - len(toks))
-    return np.fromiter(
-        (h64(toks[i], toks[i + 1], toks[i + 2]) for i in range(len(toks) - 2)),
-        dtype=np.uint64,
-    )
+def _batch_shingles(texts: list[str], tok_re) -> tuple[np.ndarray, np.ndarray]:
+    """(per-doc shingle counts, flat uint64 word-3-gram hashes).
+
+    One vectorised siphash call for the whole batch — the hot hash is
+    never a per-shingle Python loop.
+    """
+    counts = np.empty(len(texts), dtype=np.int64)
+    toks_all: list[np.ndarray] = []
+    for i, s in enumerate(texts):
+        toks = tok_re.findall(s.lower())
+        if len(toks) < 3:
+            toks = toks + ["_pad"] * (3 - len(toks))
+        a = np.asarray(toks, dtype=object)
+        toks_all.append(a[:-2] + "\x1f" + a[1:-1] + "\x1f" + a[2:])
+        counts[i] = len(toks) - 2
+    flat = (np.concatenate(toks_all) if toks_all
+            else np.empty(0, dtype=object))
+    return counts, h64_bytes_vec(flat, "shingle")
+
+
+class ShingleSets:
+    """Stateless stage: (doc_id, sh:list<int64>) distinct shingle hashes
+    per document — the distributed verify step's building block."""
+
+    def __init__(self):
+        self.tok_re = re.compile(TOKEN_RE)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts, flat = _batch_shingles(texts, self.tok_re)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        sets = [np.unique(flat[offs[i]:offs[i + 1]]).astype(np.int64)
+                for i in range(len(texts))]
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "sh": pa.array(sets, pa.list_(pa.int64())),
+        })
 
 
 class MinHasher:
-    """Stateful stage: permutation seeds prepared once per actor."""
+    """Stateful stage: permutation seeds prepared once per actor.
+    Emits one (doc_id, band, bhash) row per LSH band, vectorised across
+    the whole batch (affine perms -> segment minima -> mixed band hash)."""
 
     def __init__(self, perms: int = MINHASH_PERMS, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -251,84 +302,141 @@ class MinHasher:
         self.b = rng.integers(0, MERSENNE, size=perms, dtype=np.uint64)
         self.tok_re = re.compile(TOKEN_RE)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.tok_re) % MERSENNE
-        # (perms, n_shingles) affine hashes -> row mins
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
-        return vals.min(axis=1)
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, perms) MinHash signature matrix for a batch."""
+        counts, flat = _batch_shingles(texts, self.tok_re)
+        sh = flat % MERSENNE
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE  # (P, S)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # per-doc segment minima along the flat shingle axis
+        return np.stack(
+            [np.minimum.reduceat(vals[p], starts) for p in range(len(self.a))],
+            axis=1,
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [self.signature(s) for s in t["text"].to_pylist()]
-        rows_doc, rows_band, rows_hash = [], [], []
+        texts = t["text"].to_pylist()
+        if not texts:
+            return pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
+                              ("bhash", pa.int64())]).empty_table()
+        sig = self.signatures(texts)  # (n, perms)
+        n = len(texts)
         per_band = MINHASH_PERMS // LSH_BANDS
-        for did, sig in zip(t["doc_id"].to_pylist(), sigs):
-            for b in range(LSH_BANDS):
-                chunk = sig[b * per_band:(b + 1) * per_band]
-                rows_doc.append(did)
-                rows_band.append(b)
-                rows_hash.append(h64(*chunk.tolist()))
+        sig = sig.reshape(n, LSH_BANDS, per_band).astype(np.uint64)
+        # order-dependent band hash: fold values through the splitmix mixer
+        bh = np.zeros((n, LSH_BANDS), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(per_band):
+                bh = splitmix64(bh ^ sig[:, :, k])
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int64()),
-                "bhash": pa.array(np.array(rows_hash, dtype=np.uint64).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(did, LSH_BANDS)),
+                "band": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)),
+                "bhash": pa.array(bh.reshape(-1).astype(np.int64)),
             }
         )
 
 
-def lsh_candidate_pairs(sf_dir: str) -> pd.DataFrame:
-    """(doc_a < doc_b) candidate pairs sharing any LSH band bucket."""
+def lsh_candidate_pairs(sf_dir: str) -> "Dataset":
+    """(doc_a < doc_b) candidate pairs sharing any LSH band bucket — as a
+    Dataset. Band buckets are hashed into a bounded number of shuffle
+    groups; pair expansion inside a group is vectorised over the sorted
+    (band, bhash) runs (only multi-doc buckets — rare — loop)."""
     docs = _read_docs(sf_dir)
     bands = docs.map_batches(MinHasher, batch_format="pyarrow",
                              concurrency=(1, 4), num_cpus=1)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(DEDUP_SHUFFLE_BUCKETS)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
 
-    pairs = bands.groupby(["band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bh = t["bhash"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        new = np.ones(len(band), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(band)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = doc[s:e]
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    df = pairs.to_pandas()
-    if len(df) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    return df.drop_duplicates().astype("int64")
+    # distinct pairs (a doc pair can collide in several bands)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["doc_a", "doc_b"])
 
 
-def _pair_jaccards(sf_dir: str, cand: pd.DataFrame) -> pd.DataFrame:
-    """Exact word-3-gram Jaccard for candidate pairs (verify step)."""
-    docs = _read_docs(sf_dir).to_pandas()
-    tok_re = re.compile(TOKEN_RE)
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    sets = {
-        int(r.doc_id): set(_shingle_hashes(r.text, tok_re).tolist())
-        for r in docs.itertuples()
-        if int(r.doc_id) in need
-    }
-    jac = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sets[int(a)], sets[int(b)]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac.append(inter / union if union else 0.0)
-    out = cand.copy()
-    out["jaccard"] = np.round(jac, 6)
-    return out
+def pair_jaccards(sf_dir: str, cand: "Dataset") -> "Dataset":
+    """Exact word-3-gram Jaccard for candidate pairs — DISTRIBUTED verify:
+    the candidate table joins the per-doc shingle-set table twice (once
+    per endpoint) via hash_bucket_join; Jaccard is computed inside the
+    joined batches. The documents table never reaches the driver."""
+    shingles = _read_docs(sf_dir).map_batches(
+        ShingleSets, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    ).materialize()  # consumed by BOTH endpoint joins — compute once
+    sh_a = shingles.map_batches(
+        lambda t: pa.table({"_da": t["doc_id"], "sh_a": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    sh_b = shingles.map_batches(
+        lambda t: pa.table({"_db": t["doc_id"], "sh_b": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(cand, sh_a, left_on="doc_a", right_on="_da")
+    j = hash_bucket_join(j, sh_b, left_on="doc_b", right_on="_db")
+
+    def jac(t: pa.Table) -> pa.Table:
+        sa = t["sh_a"].to_pylist()
+        sb = t["sh_b"].to_pylist()
+        out = np.empty(len(sa), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(sa, sb)):  # rows = candidate pairs only
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            union = len(x) + len(y) - inter
+            out[i] = inter / union if union else 0.0
+        return pa.table({
+            "doc_a": t["doc_a"].cast(pa.int64()),
+            "doc_b": t["doc_b"].cast(pa.int64()),
+            "jaccard": pa.array(np.round(out, 6), pa.float64()),
+        })
+
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 def q_doc_minhash_dedup(sf_dir: str) -> pa.Table:
     """Near-dup groups: LSH candidates -> exact-Jaccard verify -> union-find.
 
-    Driver-side union-find is safe because pairs << docs (LSH bounded);
-    at corpus scale the verified pairs feed the WCC kernel instead.
+    Candidates AND verification are distributed; only the union-find over
+    VERIFIED pairs runs driver-side (verified pairs << docs, LSH bounded);
+    at corpus scale the same pairs feed the WCC kernel instead. The final
+    group assignment broadcasts the tiny rep map and labels documents in
+    a map_batches pass — no driver materialisation of the doc table.
     """
+    import ray
+
     cand = lsh_candidate_pairs(sf_dir)
-    verified = _pair_jaccards(sf_dir, cand)
-    verified = verified[verified["jaccard"] >= JACCARD_TAU]
+    verified = pair_jaccards(sf_dir, cand).filter(
+        expr=f"jaccard >= {JACCARD_TAU}"
+    ).to_pandas()  # verified near-dup pairs only: tiny by construction
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -341,35 +449,50 @@ def q_doc_minhash_dedup(sf_dir: str) -> pa.Table:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    docs = _read_docs(sf_dir, columns=("doc_id",)).to_pandas()
-    reps = [find(int(d)) for d in docs["doc_id"]]
-    return pa.table(
-        {
-            "doc_id": pa.array(docs["doc_id"].astype("int64")),
-            "group_rep": pa.array(np.array(reps, dtype=np.int64)),
-        }
-    )
+    rep = {x: find(x) for x in parent}
+    rep_ref = ray.put(rep)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.array([m.get(int(d), int(d)) for d in did], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(did), "group_rep": pa.array(reps)})
+
+    out = _read_docs(sf_dir, columns=("doc_id",)).map_batches(
+        assign, batch_format="pyarrow"
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 class SimHasher:
+    """64-bit SimHash, vectorised: tokens of the whole batch are hashed
+    in one siphash call; per-bit ±1 votes accumulate via a single
+    ``np.add.at`` over the (docs, 64) vote matrix."""
+
     def __init__(self, seed: int = 11):
         self.tok_re = re.compile(TOKEN_RE)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
-        for s in t["text"].to_pylist():
-            toks = self.tok_re.findall(s.lower())
-            votes = np.zeros(64, dtype=np.int64)
-            for w in toks:
-                hv = h64("simhash", w)
-                bits = (hv >> np.arange(64, dtype=np.uint64)) & 1
-                votes += np.where(bits == 1, 1, -1)
-            sig = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(np.int64(sig.astype(np.int64)))
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+        texts = t["text"].to_pylist()
+        toks_per_doc = [
+            np.asarray(self.tok_re.findall(s.lower()), dtype=object)
+            for s in texts
+        ]
+        counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = (np.concatenate(toks_per_doc) if toks_per_doc
+                else np.empty(0, dtype=object))
+        hv = h64_bytes_vec(flat, "simhash")
+        shifts = np.arange(64, dtype=np.uint64)
+        pm = np.where(((hv[:, None] >> shifts[None, :]) & 1) == 1, 1, -1
+                      ).astype(np.int64)  # (tokens, 64) of +-1
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        np.add.at(votes, np.repeat(np.arange(len(texts)), counts), pm)
+        sig = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << shifts[None, :], axis=1
+        )
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(sig.astype(np.int64), pa.int64())})
 
 
 def q_doc_simhash(sf_dir: str) -> pa.Table:
@@ -382,7 +505,7 @@ def q_doc_simhash(sf_dir: str) -> pa.Table:
 
 def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
     cand = lsh_candidate_pairs(sf_dir)
-    verified = _pair_jaccards(sf_dir, cand)
+    verified = pair_jaccards(sf_dir, cand).to_pandas()
     return pa.Table.from_pandas(
         verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,

@@ -463,6 +463,329 @@ FROM h1 JOIN h2 ON h2.src = h1.src"""
 )
 
 
+# ---------------------------------------------------------------------------
+# A5/A6/A7/A9/A10 driver queries (coloring, MST, random walk, GNN, seeded
+# WCC) with trajectory-exact SQL oracles. All of them work in the dense
+# INTERNAL id space, which SQL reproduces exactly with
+# ROW_NUMBER() OVER (ORDER BY v) - 1 (dense_rank_int is order-preserving);
+# "random" choices use splitmix64, replicated in SQL via HUGEINT
+# mod-2^64 arithmetic (_sql_mix).
+# ---------------------------------------------------------------------------
+
+COLOR_ROUNDS = 20
+MST_ROUNDS = 12
+MST_JUMPS = 12
+RW_LEN = 5
+GNN_LAYERS = 2
+
+_M64 = 1 << 64
+_B32 = 1 << 32
+_C1, _C2, _C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+_IDS_CTE = """
+ids AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS id FROM nodes),
+iedges AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst FROM edges e
+  JOIN ids a ON a.v = e.src JOIN ids b ON b.v = e.dst)
+"""
+
+
+def _sql_mulmod(z: str, c: int) -> str:
+    """(z * c) mod 2^64 without INT128 overflow: 32-bit split multiply."""
+    return (f"CAST(((CAST({z} AS HUGEINT) % {_B32}) * {c} + "
+            f"((CAST({z} AS HUGEINT) // {_B32}) * {c} % {_B32}) * {_B32})"
+            f" % {_M64} AS UBIGINT)")
+
+
+def _sql_mix(prefix: str, src: str, in_expr: str, keep: list[str]) -> tuple[list[str], str]:
+    """CTE chain computing z = splitmix64(in_expr) (verified bit-exact
+    against util.splitmix64). Returns (ctes, final_cte_name)."""
+    kc = (", ".join(keep) + ", ") if keep else ""
+    ctes = [
+        f"{prefix}a AS (SELECT {kc}CAST(((CAST({in_expr} AS HUGEINT) + {_C1})"
+        f" % {_M64}) AS UBIGINT) AS z FROM {src})",
+        f"{prefix}b AS (SELECT {kc}xor(z, z >> 30) AS z FROM {prefix}a)",
+        f"{prefix}c AS (SELECT {kc}{_sql_mulmod('z', _C2)} AS z FROM {prefix}b)",
+        f"{prefix}d AS (SELECT {kc}xor(z, z >> 27) AS z FROM {prefix}c)",
+        f"{prefix}e AS (SELECT {kc}{_sql_mulmod('z', _C3)} AS z FROM {prefix}d)",
+        f"{prefix}f AS (SELECT {kc}xor(z, z >> 31) AS z FROM {prefix}e)",
+    ]
+    return ctes, f"{prefix}f"
+
+
+def q_g2_coloring(sf_dir: str) -> pa.Table:
+    from ..kernels import coloring
+
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = coloring(g, max_supersteps=COLOR_ROUNDS)
+    vals = state.select_columns(["v", "val"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+            "color": pa.array(tab["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _coloring_sql(rounds: int = COLOR_ROUNDS) -> str:
+    from ..kernels.coloring import MIX_K, RAND_MAX
+
+    ctes = ["col0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS c FROM ids)"]
+    for i in range(1, rounds + 1):
+        rnd = i - 1  # kernel superstep index
+        p = f"col{i - 1}"
+        ctes.append(
+            f"cf{i} AS (SELECT DISTINCT e.src AS id FROM iedges e"
+            f" JOIN {p} cu ON cu.id = e.src JOIN {p} cw ON cw.id = e.dst"
+            f" WHERE e.dst > e.src AND cu.c = cw.c)"
+        )
+        mix, fin = _sql_mix(f"cm{i}", f"cf{i}",
+                            f"(CAST(id AS HUGEINT) * {MIX_K} + {rnd}) % {_M64}",
+                            ["id"])
+        ctes.extend(mix)
+        ctes.append(
+            f"inc{i} AS (SELECT id, CAST(z % {RAND_MAX} AS BIGINT) + 1 AS inc"
+            f" FROM {fin})"
+        )
+        ctes.append(
+            f"col{i} AS MATERIALIZED (SELECT c0.id, c0.c + COALESCE(i.inc, 0) AS c"
+            f" FROM {p} c0 LEFT JOIN inc{i} i ON i.id = c0.id)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(n.v AS VARCHAR) AS node_key, c.c AS color"
+        f" FROM col{rounds} c JOIN ids n ON n.id = c.id"
+    )
+
+
+def q_g2_mst(sf_dir: str) -> pa.Table:
+    from ..kernels import boruvka
+
+    g, iddict = _build(sf_dir, "g2")
+    _labels, fedges = boruvka(g)
+    import ray.data as rd
+
+    fe = rd.from_pandas(fedges)
+    fe = _attach_key(fe, iddict, "src", "skey")
+    fe = _attach_key(fe, iddict, "dst", "dkey")
+    tab = fe.to_pandas().sort_values(["skey", "dkey"])
+    return pa.table(
+        {
+            "src_key": pa.array(_format_keys_p(tab["skey"].to_numpy())),
+            "dst_key": pa.array(_format_keys_p(tab["dkey"].to_numpy())),
+        }
+    )
+
+
+def _mst_sql(rounds: int = MST_ROUNDS, jumps: int = MST_JUMPS) -> str:
+    """Unrolled Borůvka replaying kernels/mst.boruvka exactly: per round a
+    per-component min-(ekey,to) choice (window), deterministic 2-cycle
+    break to the smaller id, pointer-jump DOUBLING (log-depth), label
+    update. Distinct ekeys => the minimum spanning forest is unique."""
+    ctes = [
+        "nvt AS (SELECT COUNT(*) AS nv FROM ids)",
+        "uedges AS MATERIALIZED (SELECT src AS a, dst AS b,"
+        " src * nv + dst AS ekey FROM iedges, nvt WHERE src < dst)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS label FROM ids)",
+    ]
+    forests = []
+    for r in range(rounds):
+        p = f"lab{r}"
+        ctes.append(
+            f"cr{r} AS MATERIALIZED (SELECT u.a, u.b, u.ekey, la.label AS ls,"
+            f" lb.label AS ld FROM uedges u"
+            f" JOIN {p} la ON la.id = u.a JOIN {p} lb ON lb.id = u.b"
+            f" WHERE la.label <> lb.label)"
+        )
+        ctes.append(
+            f"both{r} AS (SELECT ls AS comp, ld AS t, ekey FROM cr{r}"
+            f" UNION ALL SELECT ld, ls, ekey FROM cr{r})"
+        )
+        ctes.append(
+            f"ch{r} AS MATERIALIZED (SELECT comp, t, ekey FROM ("
+            f"SELECT comp, t, ekey, ROW_NUMBER() OVER (PARTITION BY comp"
+            f" ORDER BY ekey, t) AS rn FROM both{r}) WHERE rn = 1)"
+        )
+        forests.append(f"SELECT ekey FROM ch{r}")
+        ctes.append(
+            f"j{r}_0 AS MATERIALIZED (SELECT c.comp,"
+            f" CASE WHEN q.t = c.comp AND q.comp = c.t"
+            f" THEN LEAST(c.comp, c.t) ELSE c.t END AS par"
+            f" FROM ch{r} c LEFT JOIN ch{r} q ON q.comp = c.t)"
+        )
+        for k in range(jumps):
+            ctes.append(
+                f"j{r}_{k + 1} AS MATERIALIZED (SELECT a.comp, COALESCE(b.par, a.par) AS par"
+                f" FROM j{r}_{k} a LEFT JOIN j{r}_{k} b ON b.comp = a.par)"
+            )
+        ctes.append(
+            f"lab{r + 1} AS MATERIALIZED (SELECT l.id, COALESCE(j.par, l.label) AS label"
+            f" FROM {p} l LEFT JOIN j{r}_{jumps} j ON j.comp = l.label)"
+        )
+    ctes.append("forest AS (SELECT DISTINCT ekey FROM ("
+                + " UNION ALL ".join(forests) + "))")
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes)
+        + "\nSELECT 'p' || CAST(sa.v AS VARCHAR) AS src_key,"
+        " 'p' || CAST(sb.v AS VARCHAR) AS dst_key"
+        " FROM (SELECT ekey // nv AS said, ekey % nv AS sbid FROM forest, nvt) f"
+        " JOIN ids sa ON sa.id = f.said"
+        " JOIN ids sb ON sb.id = f.sbid"
+    )
+
+
+def q_g2_randomwalk(sf_dir: str) -> pa.Table:
+    from ..kernels import random_walk
+
+    g, iddict = _build(sf_dir, "g2")
+    walks = random_walk(g, L=RW_LEN)
+    walks = _attach_key(walks, iddict, "origin", "okey")
+    walks = _attach_key(walks, iddict, "final_v", "fkey")
+    tab = walks.to_pandas().sort_values("okey")
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["okey"].to_numpy())),
+            "final_key": pa.array(_format_keys_p(tab["fkey"].to_numpy())),
+        }
+    )
+
+
+def _randomwalk_sql(L: int = RW_LEN) -> str:
+    from ..kernels.randomwalk import MIX_K
+
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER"
+        " (PARTITION BY src ORDER BY dst) - 1 AS idx FROM iedges)",
+        "degt AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg"
+        " FROM iedges GROUP BY src)",
+        "w0 AS (SELECT id AS origin, id AS cur FROM ids)",
+    ]
+    for i in range(L):
+        mix, fin = _sql_mix(f"rm{i}", "ids",
+                            f"(CAST(id AS HUGEINT) * {MIX_K} + {i}) % {_M64}",
+                            ["id"])
+        ctes.extend(mix)
+        ctes.append(
+            f"nx{i} AS (SELECT d.id, a.dst AS nxt FROM degt d"
+            f" JOIN {fin} m ON m.id = d.id"
+            f" JOIN adj a ON a.src = d.id"
+            f" AND a.idx = CAST(m.z % CAST(d.deg AS UBIGINT) AS BIGINT))"
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.origin, COALESCE(n.nxt, w.cur) AS cur"
+            f" FROM w{i} w LEFT JOIN nx{i} n ON n.id = w.cur)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(o.v AS VARCHAR) AS node_key,"
+        f" 'p' || CAST(fv.v AS VARCHAR) AS final_key"
+        f" FROM w{L} w JOIN ids o ON o.id = w.origin"
+        f" JOIN ids fv ON fv.id = w.cur"
+    )
+
+
+def q_g2_gnn(sf_dir: str) -> pa.Table:
+    from ..kernels import gnn
+    from ..kernels.gnn import FDIM
+
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = gnn(g, layers=GNN_LAYERS)
+    cols = ["v"] + [f"f{j}" for j in range(FDIM)]
+    vals = state.select_columns(cols)
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    out = {"node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy()))}
+    for j in range(FDIM):
+        out[f"f{j}"] = pa.array(np.round(tab[f"f{j}"].to_numpy(), 6))
+    return pa.table(out)
+
+
+def _gnn_sql(layers: int = GNN_LAYERS) -> str:
+    from ..kernels.gnn import FDIM, _weights
+
+    seed = 17
+    # feature init: x = (id*2654435761 + seed*97+j) mod 2^64;
+    # x = (x ^ (x>>16)) * 0x45D9F3B mod 2^64; f = (x % 10000) / 10000
+    init_x = ", ".join(
+        f"CAST(((CAST(id AS HUGEINT) * 2654435761 + {seed * 97 + j}) % {_M64})"
+        f" AS UBIGINT) AS x{j}"
+        for j in range(FDIM)
+    )
+    # 0x45D9F3B < 2^27 and x < 2^64 -> direct HUGEINT product fits
+    mix_x = ", ".join(
+        f"CAST((CAST(xor(x{j}, x{j} >> 16) AS HUGEINT) * {0x45D9F3B}) % {_M64}"
+        f" AS UBIGINT) AS x{j}"
+        for j in range(FDIM)
+    )
+    feat0 = ", ".join(
+        f"CAST(x{j} % 10000 AS DOUBLE) / 10000.0 AS f{j}" for j in range(FDIM)
+    )
+    ctes = [
+        "degt AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg"
+        " FROM iedges GROUP BY src)",
+        f"g0 AS (SELECT id, {init_x} FROM ids)",
+        f"g1 AS (SELECT id, {mix_x} FROM g0)",
+        f"feat0 AS (SELECT id, {feat0} FROM g1)",
+    ]
+    for layer in range(layers):
+        W, b = _weights(layer, seed)
+        aggs = ", ".join(
+            f"SUM(f.f{j} / d.deg) AS a{j}" for j in range(FDIM)
+        )
+        ctes.append(
+            f"agg{layer} AS (SELECT e.dst AS id, {aggs} FROM iedges e"
+            f" JOIN feat{layer} f ON f.id = e.src"
+            f" JOIN degt d ON d.id = e.src GROUP BY e.dst)"
+        )
+        outs = []
+        for j in range(FDIM):
+            lin = " + ".join(
+                f"({W[j][k]!r}) * COALESCE(a.a{k}, 0.0)" for k in range(FDIM)
+            )
+            outs.append(f"1.0 / (1.0 + exp(-({lin} + ({b[j]!r})))) AS f{j}")
+        ctes.append(
+            f"feat{layer + 1} AS MATERIALIZED (SELECT i.id, {', '.join(outs)}"
+            f" FROM ids i LEFT JOIN agg{layer} a ON a.id = i.id)"
+        )
+    sel = ", ".join(f"ROUND(f.f{j}, 6) AS f{j}" for j in range(FDIM))
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(n.v AS VARCHAR) AS node_key, {sel}"
+        f" FROM feat{layers} f JOIN ids n ON n.id = f.id"
+    )
+
+
+def q_g2_wcc_precomp(sf_dir: str) -> pa.Table:
+    """A10: hop-extrema-seeded WCC — same fixpoint (and same oracle) as
+    plain WCC, fewer supersteps."""
+    from ..kernels import wcc_precomputed
+
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = wcc_precomputed(g)
+    vals = state.select_columns(["v", "val"])
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withc = _attach_key(withv, iddict, "val", "ckey")
+    tab = withc.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "component": pa.array(_format_keys_p(tab["ckey"].to_numpy())),
+        }
+    )
+
+
+SQL_G2_COLORING = _coloring_sql()
+SQL_G2_MST = _mst_sql()
+SQL_G2_RANDOMWALK = _randomwalk_sql()
+SQL_G2_GNN = _gnn_sql()
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "g2_hop_extrema": q_g2_hop_extrema,
@@ -473,6 +796,11 @@ QUERIES = {
     "g2_triangles": q_g2_triangles,
     "g2_sssp": q_g2_sssp,
     "g2_khop": q_g2_khop,
+    "g2_coloring": q_g2_coloring,
+    "g2_mst": q_g2_mst,
+    "g2_randomwalk": q_g2_randomwalk,
+    "g2_gnn": q_g2_gnn,
+    "g2_wcc_precomp": q_g2_wcc_precomp,
 }
 
 ORACLES = {
@@ -485,4 +813,9 @@ ORACLES = {
     "g2_triangles": SQL_G2_TRIANGLES,
     "g2_sssp": SQL_G2_SSSP,
     "g2_khop": SQL_G2_KHOP,
+    "g2_coloring": SQL_G2_COLORING,
+    "g2_mst": SQL_G2_MST,
+    "g2_randomwalk": SQL_G2_RANDOMWALK,
+    "g2_gnn": SQL_G2_GNN,
+    "g2_wcc_precomp": SQL_G2_WCC,  # same fixpoint as plain WCC
 }

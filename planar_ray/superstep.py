@@ -235,7 +235,8 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
         if "active" in k.columns:
             act = batch["active"].to_numpy(zero_copy_only=False).astype(bool)
             if not act.any():
-                return batch
+                # keep any role-2 global-partial rows already emitted
+                return pa.concat_tables(outs)
             batch = batch.filter(pa.array(act))
             v = v[act]
         cols = {name: batch[name].to_numpy(zero_copy_only=False)
@@ -376,17 +377,25 @@ class Engine:
         }
 
     # -- state lifecycle ----------------------------------------------------
-    def init_state(self) -> Dataset:
+    def init_state(self, state: Dataset | None = None) -> Dataset:
+        """Build (or adopt) the superstep-0 state and seed the globals.
+
+        ``state`` lets a precomputing pipeline seed the kernel (the
+        reference's MapVertexWithPrecomputing / InitTwoHop path,
+        /root/reference/nvme/apis/block_api.h:109-113) — rows must match
+        the kernel schema.
+        """
         import ray.data as rd
 
-        P = len(self._apply_boundaries) - 1
-        parts = rd.range(P, override_num_blocks=P)
-        state = parts.map_batches(
-            make_init_fn(self.run_id, self._kernel_ref, self._csr_refs,
-                         self._apply_boundaries),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
+        if state is None:
+            P = len(self._apply_boundaries) - 1
+            parts = rd.range(P, override_num_blocks=P)
+            state = parts.map_batches(
+                make_init_fn(self.run_id, self._kernel_ref, self._csr_refs,
+                             self._apply_boundaries),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
         state = state.materialize()
         # seed the global scalars (e.g. PageRank's dangling mass) from the
         # initial state so superstep 0 is a real iteration
@@ -451,14 +460,15 @@ class Engine:
             self._checkpoint(new, superstep, m)
         return new, m
 
-    def run(self, max_supersteps: int = 100, resume: bool = False) -> Dataset:
+    def run(self, max_supersteps: int = 100, resume: bool = False,
+            initial_state: Dataset | None = None) -> Dataset:
         state, start = None, 0
         if resume and self.run_dir:
             found = self.latest_checkpoint()
             if found is not None:
                 state, start = found
         if state is None:
-            state = self.init_state()
+            state = self.init_state(initial_state)
         for s in range(start, max_supersteps):
             # kernels that feed a global scalar forward (PageRank's dangling
             # mass) need stats every superstep; otherwise only on check steps
@@ -475,8 +485,13 @@ class Engine:
 
     # -- checkpoint / resume (north rule) ------------------------------------
     def _checkpoint(self, state: Dataset, superstep: int, m: StepMetrics) -> None:
+        import shutil
+
         step_dir = os.path.join(self.run_dir, f"step_{superstep:05d}")
         state_dir = os.path.join(step_dir, "state")
+        # a re-run in the same run_dir must not append next to stale files
+        # (a later resume would read duplicated state rows)
+        shutil.rmtree(state_dir, ignore_errors=True)
         os.makedirs(state_dir, exist_ok=True)
         state.write_parquet(state_dir)
         write_json_atomic(
