@@ -95,9 +95,15 @@ def build_vertex_dict(edges_keys: Dataset, out_dir: str, num_partitions: int = 1
 
 
 def map_edges_to_ids(
-    edges_keys: Dataset, vdict: Dataset, num_partitions: int = 16
+    edges_keys: Dataset, vdict: Dataset, num_partitions: int = 16,
+    dedup: bool = True,
 ) -> Dataset:
-    """(src_key, dst_key) -> (src, dst) int64 via two hash joins; dedup exact."""
+    """(src_key, dst_key) -> (src, dst) int64 via two hash joins.
+
+    ``dedup=False`` skips the exact multi-edge dedup shuffle — used by
+    build_graph, whose partition step dedups inside the per-partition
+    write (one shuffle instead of two).
+    """
     vd = vdict.select_columns(["key", "v"])
     e = edges_keys.select_columns(["src_key", "dst_key"])
     e = hash_bucket_join(e, vd, left_on="src_key", right_on="key",
@@ -111,12 +117,14 @@ def map_edges_to_ids(
     e = e.map_batches(
         lambda t: pa.table({"src": t["src"], "dst": t["v"]}), batch_format="pyarrow"
     )
-    # exact dedup of multi-edges (reference converter behavior) + self-loop guard
+    # self-loop guard (reference converter behavior)
     e = e.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])), batch_format="pyarrow"
     )
-    dedup = e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-    return dedup.select_columns(["src", "dst"])
+    if not dedup:
+        return e
+    grouped = e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+    return grouped.select_columns(["src", "dst"])
 
 
 # ---------------------------------------------------------------------------
@@ -140,22 +148,21 @@ def pick_boundaries(edges: Dataset, num_vertices: int, num_parts: int) -> np.nda
     per-bucket edge counts reach the driver, never per-vertex degrees.
     """
     bsz = _bucket_size(num_vertices, num_parts)
-    hist = (
-        edges.map_batches(
-            lambda t: pa.table(
-                {"b": pc.divide(t["src"], bsz), "n": pa.array(np.ones(len(t), np.int64))}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("b")
-        .aggregate(Sum(on="n", alias_name="n"))
-        .to_pandas()
-        .sort_values("b")
-    )
     nb = (num_vertices + bsz - 1) // bsz
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        # per-batch combiner: each batch emits its own (bucket, count)
+        # rows; the tiny partials are summed on the driver — no shuffle
+        b = t["src"].to_numpy(zero_copy_only=False) // bsz
+        cnt = np.bincount(b, minlength=max(nb, 1)).astype(np.int64)
+        nzb = np.flatnonzero(cnt)
+        return pa.table({"b": pa.array(nzb.astype(np.int64)),
+                         "n": pa.array(cnt[nzb])})
+
+    hist = edges.map_batches(partial_hist, batch_format="pyarrow").to_pandas()
     per_bucket = np.zeros(max(nb, 1), dtype=np.int64)
-    bidx = hist["b"].to_numpy(dtype=np.int64)
-    per_bucket[bidx] = hist["n"].to_numpy()
+    np.add.at(per_bucket, hist["b"].to_numpy(dtype=np.int64),
+              hist["n"].to_numpy(dtype=np.int64))
     cum = np.cumsum(per_bucket)
     total = int(cum[-1]) if len(cum) else 0
     target = max(1, total // num_parts)
@@ -173,22 +180,34 @@ def part_of(v: np.ndarray, boundaries: np.ndarray) -> np.ndarray:
     return np.searchsorted(boundaries, v, side="right") - 1
 
 
-def _write_parts(out_dir: str, boundaries: np.ndarray):
-    """Group fn: one partition's edges -> sorted parquet file + manifest row."""
+def _write_parts(out_dir: str, boundaries: np.ndarray, dedup: bool = False):
+    """Group fn: one partition's edges -> sorted parquet file + manifest row.
+
+    ``dedup=True`` drops duplicate (src,dst) pairs INSIDE the partition —
+    the partition key is src, so all copies of a pair land in the same
+    group and a local mask replaces a whole global groupby(['src','dst'])
+    shuffle (measured: that shuffle alone cost more than the rest of the
+    partition step combined).
+    """
 
     def fn(t: pa.Table) -> pa.Table:
         part = int(t["part"][0].as_py())
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
         order = np.lexsort((dst, src))  # src-major, dst-minor: CSR + sorted adjacency
-        tab = pa.table({"src": pa.array(src[order]), "dst": pa.array(dst[order])})
+        src, dst = src[order], dst[order]
+        if dedup and len(src):
+            keep = np.ones(len(src), dtype=bool)
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[keep], dst[keep]
+        tab = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
         pdir = os.path.join(out_dir, f"part={part:05d}")
         os.makedirs(pdir, exist_ok=True)
         pq.write_table(tab, os.path.join(pdir, "edges.parquet"))
         return pa.table(
             {
                 "part": pa.array([part], pa.int64()),
-                "num_edges": pa.array([len(t)], pa.int64()),
+                "num_edges": pa.array([len(tab)], pa.int64()),
                 "begin": pa.array([int(boundaries[part])], pa.int64()),
                 "end": pa.array([int(boundaries[part + 1])], pa.int64()),
             }
@@ -301,8 +320,16 @@ def partition_edges(
     num_vertices: int,
     num_parts: int,
     direction: str = "fwd",
+    dedup_in_parts: bool = False,
 ) -> Graph:
-    """(src,dst) dataset -> range-partitioned sorted parquet + manifest."""
+    """(src,dst) dataset -> range-partitioned sorted parquet + manifest.
+
+    ``dedup_in_parts`` removes duplicate (src,dst) pairs during the
+    per-partition write (src is the partition key, so the local mask is
+    exact) — ONE shuffle total instead of a global multi-key groupby
+    followed by the partition shuffle. The manifest (and num_edges)
+    count post-dedup rows.
+    """
     if direction == "rev":
         edges_ids = edges_ids.map_batches(
             lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
@@ -314,13 +341,12 @@ def partition_edges(
             lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
             batch_format="pyarrow",
         )
-        both = fwd.union(rev)
-        edges_ids = both.groupby(["src", "dst"]).aggregate(
-            Count(alias_name="_n")
-        ).select_columns(["src", "dst"])
+        edges_ids = fwd.union(rev)
+        dedup_in_parts = True  # (a,b) + (b,a) in fwd would double up
 
     edges_ids = edges_ids.materialize()
-    num_edges = edges_ids.count()
+    # histogram over the pre-dedup rows: duplicates inflate counts at most
+    # uniformly (2x for sym), so edge-balanced cuts stay edge-balanced
     boundaries = pick_boundaries(edges_ids, num_vertices, num_parts)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -329,16 +355,19 @@ def partition_edges(
 
     out_dir = os.path.join(root, direction)
     os.makedirs(out_dir, exist_ok=True)
+    # materialize the tagged table BEFORE the sort shuffle: the sort's
+    # sampling pass re-executes a lazy upstream map (measured 3x cost)
+    tagged = edges_ids.map_batches(tag, batch_format="pyarrow").materialize()
     manifest = (
-        edges_ids.map_batches(tag, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_write_parts(out_dir, boundaries), batch_format="pyarrow")
+        tagged.groupby("part")
+        .map_groups(_write_parts(out_dir, boundaries, dedup=dedup_in_parts),
+                    batch_format="pyarrow")
         .to_pandas()
     )
     g = Graph(
         root=root,
         num_vertices=num_vertices,
-        num_edges=num_edges,
+        num_edges=int(manifest["num_edges"].sum()),
         boundaries=boundaries,
         direction=direction,
         part_rows=dict(zip(manifest["part"].astype(int), manifest["num_edges"].astype(int))),
@@ -359,8 +388,11 @@ def build_graph(
     edges_keys = edges_keys.materialize()
     vdict = build_vertex_dict(edges_keys, root, num_partitions).materialize()
     num_vertices = vdict.count()
-    edges_ids = map_edges_to_ids(edges_keys, vdict, num_partitions)
-    g = partition_edges(edges_ids, root, num_vertices, num_parts, "fwd")
+    # exact multi-edge dedup happens inside the partition write (src is
+    # the partition key), saving the global (src,dst) groupby shuffle
+    edges_ids = map_edges_to_ids(edges_keys, vdict, num_partitions, dedup=False)
+    g = partition_edges(edges_ids, root, num_vertices, num_parts, "fwd",
+                        dedup_in_parts=True)
     return g, vdict
 
 
@@ -455,11 +487,8 @@ def graph_from_id_edges(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
         batch_format="pyarrow",
     )
-    if dedup:
-        cleaned = cleaned.groupby(["src", "dst"]).aggregate(
-            Count(alias_name="_n")
-        ).select_columns(["src", "dst"])
-    return partition_edges(cleaned, root, num_vertices, num_parts, "fwd")
+    return partition_edges(cleaned, root, num_vertices, num_parts, "fwd",
+                           dedup_in_parts=dedup)
 
 
 def derive_direction(g: Graph, direction: str, num_parts: int | None = None) -> Graph:

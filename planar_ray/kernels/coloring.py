@@ -87,9 +87,7 @@ class ColoringKernel(Kernel):
                 changed[conflict] = 1
         return {"v": v, "val": color, "changed": changed, "in_msgs": in_msgs}
 
-    def stat_aggs(self):
-        return [Sum(on="changed", alias_name="changed"),
-                Sum(on="in_msgs", alias_name="in_msgs")]
+    stats_spec = [("changed", "changed", "sum"), ("in_msgs", "in_msgs", "sum")]
 
     def converged(self, stats, superstep):
         return superstep > 0 and int(stats.get("changed") or 0) == 0

@@ -98,8 +98,7 @@ class GNNKernel(Kernel):
         cols["delta"] = np.abs(out - old).max(axis=1)
         return cols
 
-    def stat_aggs(self):
-        return [Max(on="delta", alias_name="max_delta")]
+    stats_spec = [("max_delta", "delta", "max")]
 
     def converged(self, stats, superstep):
         return superstep >= self.layers - 1

@@ -100,10 +100,9 @@ class PageRankKernel(Kernel):
                 "dangling": np.where(deg == 0, val, 0.0),
                 "gdangling": np.zeros(len(v)), "in_msgs": in_msgs}
 
-    def stat_aggs(self):
-        return [Max(on="delta", alias_name="max_delta"),
-                Sum(on="in_msgs", alias_name="in_msgs"),
-                Sum(on="dangling", alias_name="dangling_mass")]
+    stats_spec = [("max_delta", "delta", "max"),
+                  ("in_msgs", "in_msgs", "sum"),
+                  ("dangling_mass", "dangling", "sum")]
 
     def converged(self, stats, superstep):
         if self.fixed_iters is not None:
@@ -163,9 +162,7 @@ class ReferencePageRankKernel(Kernel):
         return {"v": v, "val": val, "deg": deg, "delta": np.abs(val - old),
                 "in_msgs": in_msgs}
 
-    def stat_aggs(self):
-        return [Max(on="delta", alias_name="max_delta"),
-                Sum(on="in_msgs", alias_name="in_msgs")]
+    stats_spec = [("max_delta", "delta", "max"), ("in_msgs", "in_msgs", "sum")]
 
     def converged(self, stats, superstep):
         return superstep >= self.iters - 1  # fixed rounds, like the reference

@@ -70,16 +70,23 @@ class Kernel:
     Subclasses define:
       columns   — {name: pyarrow type} for all per-vertex + message cols
       direction — which stored edge direction scatter walks (fwd/rev/sym)
+      stats_spec — [(alias, column, 'max'|'sum')] convergence scalars;
+                   computed per partition INSIDE the apply stage and
+                   merged on the driver (no extra aggregate job)
       init_cols(part, begin, end, csr) -> {col: np.ndarray}  (per vertex)
       scatter(csr, v, cols) -> {'v': targets, ...} | None    (pre-combined)
       apply(begin, end, state, msgs, ctx) -> {col: np.ndarray}
-      stat_aggs() -> list of ray.data aggregate fns over the new state
       converged(stats, superstep) -> bool
     """
 
     name: str = "kernel"
     direction: str = "fwd"
     columns: dict[str, pa.DataType] = {}
+    stats_spec: list[tuple[str, str, str]] = [
+        ("max_delta", "delta", "max"),
+        ("changed", "changed", "sum"),
+        ("in_msgs", "in_msgs", "sum"),
+    ]
 
     def init_cols(self, part: int, begin: int, end: int, csr: CSRPart) -> dict:
         raise NotImplementedError
@@ -100,9 +107,39 @@ class Kernel:
         return None
 
     def stat_aggs(self) -> list:
-        return [Max(on="delta", alias_name="max_delta"),
-                Sum(on="changed", alias_name="changed"),
-                Sum(on="in_msgs", alias_name="in_msgs")]
+        """Ray Data aggregates equivalent to stats_spec (used once, to
+        seed globals from the initial state)."""
+        return [
+            (Max(on=col, alias_name=alias) if op == "max"
+             else Sum(on=col, alias_name=alias))
+            for alias, col, op in self.stats_spec
+        ]
+
+    def local_stats(self, cols: dict) -> dict:
+        """Per-partition stats_spec values over the new state columns."""
+        out = {}
+        for alias, col, op in self.stats_spec:
+            v = np.asarray(cols[col])
+            if len(v) == 0:
+                out[alias] = None
+            elif op == "max":
+                out[alias] = float(v.max())
+            else:
+                out[alias] = float(v.sum())
+        return out
+
+    @staticmethod
+    def merge_stats(parts: list[dict], spec) -> dict:
+        out = {}
+        for alias, _col, op in spec:
+            vals = [p[alias] for p in parts if p.get(alias) is not None]
+            if not vals:
+                out[alias] = 0
+            elif op == "max":
+                out[alias] = max(vals)
+            else:
+                out[alias] = sum(sorted(vals))  # sorted: deterministic fp sum
+        return out
 
     def converged(self, stats: dict, superstep: int) -> bool:
         return False
@@ -254,10 +291,31 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
     return scatter_fn
 
 
-def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict):
+class _StatsBoard:
+    """num_cpus=0 actor collecting per-partition convergence stats pushed
+    from INSIDE the apply stage — replaces the per-superstep aggregate
+    job (a whole second pipeline execution) with P tiny actor RPCs."""
+
+    def __init__(self):
+        self._data: dict = {}
+
+    def push(self, superstep: int, part: int, stats: dict) -> None:
+        self._data[(superstep, part)] = stats
+
+    def collect(self, superstep: int) -> list[dict]:
+        out = [v for (s, _p), v in self._data.items() if s == superstep]
+        # drop anything older — keys only ever grow otherwise
+        self._data = {k: v for k, v in self._data.items() if k[0] >= superstep}
+        return out
+
+
+def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict,
+                  stats_board=None):
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
     def apply_group(t: pa.Table) -> pa.Table:
+        import ray
+
         kernel = _kernel_from_ref(run_id, kernel_ref)
         part = int(t["part"][0].as_py())
         begin, end = int(boundaries[part]), int(boundaries[part + 1])
@@ -282,16 +340,24 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
             }
         new = kernel.apply(begin, end, state, msgs, local_ctx)
         v_new = new.pop("v")
+        if stats_board is not None:
+            # ray.get so the push is PROCESSED before this task completes
+            # (and therefore before the driver's collect after materialize)
+            ray.get(stats_board.push.remote(
+                ctx["superstep"], part, kernel.local_stats(new)))
         return kernel.rows(np.full(len(v_new), part, np.int64), v_new,
                            ROLE_STATE, new)
 
     return apply_group
 
 
-def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list):
+def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list,
+                 stats_board=None):
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
     def init_fn(batch: pa.Table) -> pa.Table:
+        import ray
+
         kernel = _kernel_from_ref(run_id, kernel_ref)
         outs = []
         for p in batch["id"].to_numpy():
@@ -300,6 +366,8 @@ def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list)
             csr = _csr_from_ref(run_id, p, csr_refs[p])
             cols = kernel.init_cols(p, begin, end, csr)
             v = cols.pop("v", np.arange(begin, end, dtype=np.int64))
+            if stats_board is not None:
+                ray.get(stats_board.push.remote(-1, p, kernel.local_stats(cols)))
             outs.append(kernel.rows(np.full(len(v), p, np.int64), v,
                                     ROLE_STATE, cols))
         return pa.concat_tables(outs) if outs else kernel.empty_table()
@@ -369,6 +437,7 @@ class Engine:
         # process), replacing the per-superstep actor pools that cost ~1 s
         # of spin-up each (see module docstring).
         self._kernel_ref = ray.put(kernel)
+        self._stats_board = ray.remote(num_cpus=0)(_StatsBoard).remote()
         load = ray.remote(num_returns=1)(_load_csr_arrays)
         self._csr_refs = {
             p: load.remote(graph.root, kernel.direction, p,
@@ -387,20 +456,28 @@ class Engine:
         """
         import ray.data as rd
 
+        import ray
+
         if state is None:
             P = len(self._apply_boundaries) - 1
             parts = rd.range(P, override_num_blocks=P)
             state = parts.map_batches(
                 make_init_fn(self.run_id, self._kernel_ref, self._csr_refs,
-                             self._apply_boundaries),
+                             self._apply_boundaries,
+                             stats_board=self._stats_board),
                 batch_format="pyarrow",
                 batch_size=1,
             )
-        state = state.materialize()
-        # seed the global scalars (e.g. PageRank's dangling mass) from the
-        # initial state so superstep 0 is a real iteration
-        row = state.aggregate(*self.kernel.stat_aggs())
-        self.globals = {kk: (0 if vv is None else vv) for kk, vv in row.items()}
+            state = state.materialize()
+            # seed the global scalars (e.g. PageRank's dangling mass): the
+            # init tasks pushed per-partition stats as superstep -1
+            parts_stats = ray.get(self._stats_board.collect.remote(-1))
+            self.globals = Kernel.merge_stats(parts_stats, self.kernel.stats_spec)
+        else:
+            state = state.materialize()
+            # adopted initial state (precomputing path): one aggregate job
+            row = state.aggregate(*self.kernel.stat_aggs())
+            self.globals = {kk: (0 if vv is None else vv) for kk, vv in row.items()}
         return state
 
     def step(self, state: Dataset, superstep: int,
@@ -419,7 +496,8 @@ class Engine:
                "globals": dict(self.globals)}
         new = msgs.groupby("part").map_groups(
             make_apply_fn(self.run_id, self._kernel_ref,
-                          self._apply_boundaries, ctx),
+                          self._apply_boundaries, ctx,
+                          stats_board=self._stats_board),
             batch_format="pyarrow",
         )
         # Ray's sort shuffle emits one block per input block, and apply is
@@ -439,8 +517,13 @@ class Engine:
 
         new = rd.from_arrow_refs(new.to_arrow_refs())
         if with_stats:
-            stats_row = new.aggregate(*k.stat_aggs())
-            stats = {kk: (0 if vv is None else vv) for kk, vv in stats_row.items()}
+            import ray
+
+            # the apply stage already pushed per-partition stats (the
+            # materialize barrier guarantees every push was processed) —
+            # merging P dicts replaces a second pipeline execution
+            parts_stats = ray.get(self._stats_board.collect.remote(superstep))
+            stats = Kernel.merge_stats(parts_stats, k.stats_spec)
             self.globals = stats
         else:
             stats = dict(self.globals)
