@@ -57,16 +57,20 @@ def build_vertex_dict(edges_keys: Dataset, out_dir: str, num_partitions: int = 1
 
     Writes ``vertices/`` parquet and returns the dict as a Dataset.
     """
+    from .joins import coalesce
+
     keys = edges_keys.map_batches(
         lambda t: pa.table({"key": pa.concat_arrays(
             [t["src_key"].combine_chunks().cast(pa.string()),
              t["dst_key"].combine_chunks().cast(pa.string())])}),
         batch_format="pyarrow",
     )
-    # local pre-dedup (combiner) then global distinct via groupby
+    # local pre-dedup (combiner) then global distinct via groupby;
+    # coalesce first — the distinct shuffle's task count scales with blocks
     keys = keys.map_batches(
         lambda t: pa.table({"key": pc.unique(t["key"])}), batch_format="pyarrow"
     )
+    keys = coalesce(keys)
     distinct = keys.groupby("key").aggregate(Count(alias_name="_n")).select_columns(["key"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -355,9 +359,12 @@ def partition_edges(
 
     out_dir = os.path.join(root, direction)
     os.makedirs(out_dir, exist_ok=True)
-    # materialize the tagged table BEFORE the sort shuffle: the sort's
-    # sampling pass re-executes a lazy upstream map (measured 3x cost)
-    tagged = edges_ids.map_batches(tag, batch_format="pyarrow").materialize()
+    # materialize + coalesce the tagged table BEFORE the sort shuffle:
+    # sampling re-executes a lazy upstream map, and sort task count
+    # scales with input blocks (joins.coalesce)
+    from .joins import coalesce
+
+    tagged = coalesce(edges_ids.map_batches(tag, batch_format="pyarrow"))
     manifest = (
         tagged.groupby("part")
         .map_groups(_write_parts(out_dir, boundaries, dedup=dedup_in_parts),

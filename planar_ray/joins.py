@@ -26,6 +26,23 @@ from ray.data import Dataset
 from .util import h64_bytes_vec
 
 DEFAULT_BUCKETS = 64
+MAX_SHUFFLE_BLOCKS = 64  # sort tasks scale with input blocks; cap overhead
+
+
+def coalesce(ds: Dataset, max_blocks: int = MAX_SHUFFLE_BLOCKS) -> Dataset:
+    """Materialize + cap the block count before an all-to-all.
+
+    Ray's sort shuffle launches O(blocks) map AND reduce tasks; a table
+    that arrives as hundreds of tiny blocks (e.g. out of a previous
+    64-bucket join) pays ~10 ms of per-task overhead x 2 x blocks —
+    measured 6.6 s of an 8.4 s join on 336 k rows. Coalescing to
+    ``max_blocks`` first costs one cheap concat pass and caps the task
+    count. On a multi-node cluster scale max_blocks with total cores.
+    """
+    ds = ds.materialize()
+    if ds.num_blocks() > max_blocks:
+        ds = ds.repartition(max_blocks).materialize()
+    return ds
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
@@ -144,8 +161,9 @@ def hash_bucket_join(
             # outer-join NaN columns fall back to inferred (float) types
             return pa.Table.from_pandas(merged, preserve_index=False)
 
-    # materialize the tagged union BEFORE the sort shuffle — the sort's
-    # sampling pass re-executes a lazy upstream map (measured ~1.3x-3x)
-    return lt.union(rt).materialize().groupby("__bucket").map_groups(
+    # materialize + coalesce the tagged union BEFORE the sort shuffle —
+    # the sort's sampling pass re-executes a lazy upstream map, and its
+    # task count scales with input blocks (see coalesce)
+    return coalesce(lt.union(rt)).groupby("__bucket").map_groups(
         merge, batch_format="pyarrow"
     )
