@@ -497,7 +497,9 @@ class Engine:
         new = msgs.groupby("part").map_groups(
             make_apply_fn(self.run_id, self._kernel_ref,
                           self._apply_boundaries, ctx,
-                          stats_board=self._stats_board),
+                          # skip the per-partition stat pushes entirely on
+                          # no-stats supersteps (frontier-free inner loops)
+                          stats_board=self._stats_board if with_stats else None),
             batch_format="pyarrow",
         )
         # Ray's sort shuffle emits one block per input block, and apply is

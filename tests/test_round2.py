@@ -1,0 +1,102 @@
+"""Round-2 additions: seeded WCC (A10), distributed Jaccard verify,
+in-partition dedup equivalence, join int64 precision."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from planar_ray import graph as G
+from tests.test_kernels import CASES, make_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "tri_tail"])
+def test_wcc_precomputed_matches_plain(name, tmp_root):
+    from planar_ray.kernels import wcc, wcc_precomputed
+
+    edges, n = CASES[name]
+    g = make_graph(edges, f"{tmp_root}/wccp_{name}")
+    s1, e1 = wcc(g)
+    s2, e2 = wcc_precomputed(g)
+    l1 = s1.to_pandas().sort_values("v")["val"].to_numpy()
+    l2 = s2.to_pandas().sort_values("v")["val"].to_numpy()
+    assert (l1 == l2).all()
+    # hop-extrema seeding starts every vertex 2 hops ahead
+    assert len(e2.metrics) <= len(e1.metrics)
+
+
+def test_pair_jaccards_matches_local_sets():
+    """Distributed verify == local set-based Jaccard on the same pairs."""
+    import re
+
+    from planar_ray.pipelines.docs import (
+        TOKEN_RE,
+        _batch_shingles,
+        lsh_candidate_pairs,
+        pair_jaccards,
+    )
+
+    cand = lsh_candidate_pairs(SF).materialize()
+    got = pair_jaccards(SF, cand).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(got) == cand.count()
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok_re = re.compile(TOKEN_RE)
+    need = set(got["doc_a"]) | set(got["doc_b"])
+    sets = {}
+    for d, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if d in need:
+            _c, flat = _batch_shingles([s], tok_re)
+            sets[d] = set(flat.astype(np.int64).tolist())
+    for row in got.itertuples():
+        sa, sb = sets[row.doc_a], sets[row.doc_b]
+        union = len(sa | sb)
+        want = round(len(sa & sb) / union, 6) if union else 0.0
+        assert abs(row.jaccard - want) < 1e-9, (row.doc_a, row.doc_b)
+
+
+def test_partition_dedup_in_parts_equivalence(tmp_root):
+    """Duplicated edge rows collapse exactly to the distinct edge set."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 50, 2000)
+    dst = rng.integers(0, 50, 2000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src.astype("int64"),
+                                 "dst": dst.astype("int64")}))
+    g = G.graph_from_id_edges(ds, f"{tmp_root}/dedup_eq", num_vertices=50,
+                              num_parts=3, dedup=True)
+    want = {(int(a), int(b)) for a, b in zip(src, dst)}
+    assert g.num_edges == len(want)
+    got = set()
+    for p in range(g.num_parts):
+        csr = g.load_csr(p)
+        for v in range(csr.begin, csr.end):
+            for w in csr.indices[csr.indptr[v - csr.begin]:csr.indptr[v - csr.begin + 1]]:
+                got.add((v, int(w)))
+    assert got == want
+
+
+def test_hash_bucket_join_preserves_big_int64():
+    """Join keys above 2^53 must survive exactly (no float64 transit)."""
+    from planar_ray.joins import hash_bucket_join
+
+    base = (1 << 60) + 12345
+    ks = [base + i * 7 for i in range(100)]
+    left = rd.from_arrow(pa.table({"k": pa.array(ks, pa.int64()),
+                                   "x": pa.array(list(range(100)), pa.int64())}))
+    right = rd.from_arrow(pa.table({"kk": pa.array(ks, pa.int64()),
+                                    "y": pa.array([i * 3 for i in range(100)],
+                                                  pa.int64())}))
+    out = hash_bucket_join(left, right, left_on="k", right_on="kk",
+                           buckets=8).to_pandas().sort_values("x")
+    assert len(out) == 100
+    assert (out["k"].to_numpy() == np.array(ks)[out["x"].to_numpy()]).all()
+    assert (out["y"].to_numpy() == out["x"].to_numpy() * 3).all()
