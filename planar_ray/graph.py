@@ -325,6 +325,8 @@ def partition_edges(
     num_parts: int,
     direction: str = "fwd",
     dedup_in_parts: bool = False,
+    boundaries: np.ndarray | None = None,
+    symmetrize: bool = True,
 ) -> Graph:
     """(src,dst) dataset -> range-partitioned sorted parquet + manifest.
 
@@ -333,13 +335,19 @@ def partition_edges(
     exact) — ONE shuffle total instead of a global multi-key groupby
     followed by the partition shuffle. The manifest (and num_edges)
     count post-dedup rows.
+
+    ``boundaries`` fixes the vertex-range cuts instead of re-balancing —
+    used by edge CONTRACTION (WCC/MST rebuild a shrunken live-edge set
+    mid-run and the vertex-state partitioning must stay aligned).
     """
     if direction == "rev":
         edges_ids = edges_ids.map_batches(
             lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
             batch_format="pyarrow",
         )
-    elif direction == "sym":
+    elif direction == "sym" and symmetrize:
+        # symmetrize=False: caller guarantees the input is already
+        # symmetric (e.g. the contracted live set of a sym graph)
         fwd = edges_ids
         rev = edges_ids.map_batches(
             lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
@@ -349,9 +357,10 @@ def partition_edges(
         dedup_in_parts = True  # (a,b) + (b,a) in fwd would double up
 
     edges_ids = edges_ids.materialize()
-    # histogram over the pre-dedup rows: duplicates inflate counts at most
-    # uniformly (2x for sym), so edge-balanced cuts stay edge-balanced
-    boundaries = pick_boundaries(edges_ids, num_vertices, num_parts)
+    if boundaries is None:
+        # histogram over the pre-dedup rows: duplicates inflate counts at
+        # most uniformly (2x for sym), so edge-balanced cuts stay balanced
+        boundaries = pick_boundaries(edges_ids, num_vertices, num_parts)
 
     def tag(t: pa.Table) -> pa.Table:
         p = part_of(t["src"].to_numpy(zero_copy_only=False), boundaries)
@@ -371,6 +380,8 @@ def partition_edges(
                     batch_format="pyarrow")
         .to_pandas()
     )
+    if len(manifest) == 0:  # empty edge set (e.g. fully contracted)
+        manifest = manifest.reindex(columns=["part", "num_edges"])
     g = Graph(
         root=root,
         num_vertices=num_vertices,

@@ -48,9 +48,23 @@ def canonical_edges(edges: Dataset) -> Dataset:
 
 def triangle_count(graph: Graph, buckets: int = 64,
                    broadcast_threshold: int = 50_000_000) -> int:
-    """Total number of triangles in the underlying undirected simple graph."""
+    """Total number of triangles in the underlying undirected simple graph.
+
+    Fast path (V and E under the broadcast threshold): degrees as a
+    broadcast dense array (per-batch partial bincounts combined on the
+    driver, like the partitioner histogram), orientation as a stateless
+    map, then ONE bucket-by-source shuffle whose groups generate wedges
+    AND close them locally against the broadcast sorted edge-key array —
+    wedges never enter a shuffle at all. Two all-to-alls total (the
+    canonical dedup + the bucket groupby) instead of a degree groupby
+    plus three joins. Beyond the threshold the join-based path below
+    handles arbitrary V/E.
+    """
     canon = canonical_edges(graph.edges_dataset()).materialize()
     V = graph.num_vertices
+
+    if V <= broadcast_threshold and graph.num_edges <= broadcast_threshold:
+        return _triangle_broadcast(canon, V, buckets)
 
     # undirected degree per endpoint (consumed by TWO joins -> pin once)
     deg = (
@@ -112,31 +126,90 @@ def triangle_count(graph: Graph, buckets: int = 64,
 
     ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
 
-    if graph.num_edges <= broadcast_threshold:
-        # close wedges with a BROADCAST semi-join: the sorted edge-key
-        # array (8 B/edge) is ray.put once and searchsorted per batch —
-        # one map+sum instead of a shuffle join (guide: semi-join = filter
-        # against a broadcast key set)
-        import ray
-
-        keys_sorted = np.sort(
-            ekeys.to_pandas()["epair"].to_numpy().astype(np.int64)
-        )
-        ref = ray.put(keys_sorted)
-
-        def count_hits(t: pa.Table) -> pa.Table:
-            ks = ray.get(ref)
-            p = t["pair"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ks, p)
-            pos = np.minimum(pos, len(ks) - 1)
-            hits = int((ks[pos] == p).sum()) if len(ks) else 0
-            return pa.table({"n": pa.array([hits], pa.int64())})
-
-        return int(wkeys.map_batches(count_hits, batch_format="pyarrow").sum("n") or 0)
-
     closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
                               buckets=buckets)
     return closed.count()
+
+
+def _triangle_broadcast(canon, V: int, buckets: int) -> int:
+    """Broadcast-degree + in-task wedge close (see triangle_count)."""
+    import ray
+
+    # dense degree array via per-batch partial bincounts -> driver combine
+    def partial_deg(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(a, minlength=V) + np.bincount(b, minlength=V)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"v": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    deg = np.zeros(V, dtype=np.int64)
+    for t in canon.map_batches(partial_deg, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        np.add.at(deg, t["v"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da, db = d[a], d[b]
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b).astype(np.int64)
+        hi = np.where(a_first, b, a).astype(np.int64)
+        bucket = lo % buckets
+        return pa.table({"x": pa.array(lo), "y": pa.array(hi),
+                         "bucket": pa.array(bucket)})
+
+    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # broadcast sorted id-ordered edge keys (8 B/edge, built streaming —
+    # driver memory bounded by the threshold, never a to_pandas of a
+    # growing table)
+    chunks = []
+    for t in oriented.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        chunks.append(np.minimum(x, y) * V + np.maximum(x, y))
+    keys_sorted = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    keys_ref = ray.put(keys_sorted)
+
+    def wedge_close(t: pa.Table) -> pa.Table:
+        """One bucket: vectorised wedge generation per source run + local
+        close against the broadcast key array. Wedges never leave here."""
+        ks = ray.get(keys_ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        n = len(x)
+        run = np.zeros(n, dtype=np.int64)
+        if n:
+            run[1:] = np.cumsum(x[1:] != x[:-1])
+        counts = np.bincount(run) if n else np.empty(0, np.int64)
+        hits = 0
+        kmax = int(counts.max()) if len(counts) else 0
+        idx = np.arange(n)
+        # stride-k pairing: for k in 1..outdeg-1, pair each y with the
+        # y k slots later in the same source run (y sorted => y1 < y2)
+        for k in range(1, kmax):
+            ok = idx + k < n
+            same = np.zeros(n, dtype=bool)
+            same[ok] = run[idx[ok] + k] == run[idx[ok]]
+            y1 = y[same]
+            y2 = y[idx[same] + k]
+            pair = y1 * V + y2
+            pos = np.searchsorted(ks, pair)
+            pos = np.minimum(pos, max(len(ks) - 1, 0))
+            if len(ks):
+                hits += int((ks[pos] == pair).sum())
+        return pa.table({"n": pa.array([hits], pa.int64())})
+
+    out = oriented.groupby("bucket").map_groups(wedge_close,
+                                               batch_format="pyarrow")
+    return int(out.sum("n") or 0)
 
 
 def triangle_oracle(edges: np.ndarray) -> int:

@@ -69,13 +69,112 @@ class WCCKernel(Kernel):
 
 
 def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
-        resume=False, **engine_kw):
-    """Min-label WCC to fixpoint; returns (state Dataset, engine)."""
+        resume=False, contract_every: int = 0, **engine_kw):
+    """Min-label WCC to fixpoint; returns (state Dataset, engine).
+
+    ``contract_every=k`` rebuilds the live edge set every k supersteps,
+    dropping edges whose endpoints already share a label — the
+    reference's Contract step (wcc_app_op.h:100-121 /
+    mutable_block_csr_graph.h:168-263) re-expressed as an immutable
+    rebuild: filter via two label joins, re-partition with the SAME
+    vertex-range boundaries (state partitioning stays aligned), swap the
+    engine's CSRs. Labels at fixpoint are identical; the scatter volume
+    of later supersteps shrinks with the live-edge fraction (recorded in
+    ``eng.contract_log``).
+    """
     derive_direction(graph, "sym")
-    eng = Engine(graph, WCCKernel(), run_dir=run_dir,
-                 checkpoint_every=checkpoint_every, **engine_kw)
-    state = eng.run(max_supersteps=max_supersteps, resume=resume)
-    return state, eng
+    if not contract_every:
+        eng = Engine(graph, WCCKernel(), run_dir=run_dir,
+                     checkpoint_every=checkpoint_every, **engine_kw)
+        state = eng.run(max_supersteps=max_supersteps, resume=resume)
+        return state, eng
+    return _wcc_contracting(graph, max_supersteps, contract_every, **engine_kw)
+
+
+def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
+                     **engine_kw):
+    """Supervertex contraction (Borůvka-style): run ``contract_every``
+    propagation supersteps, then RELABEL every crossing edge by its
+    endpoints' current labels — edges inside a label group vanish, the
+    graph shrinks to one node per label — and restart propagation on the
+    contracted graph. The per-phase label mapping composes into the
+    final answer with one join per phase. (Dropping only intra-label
+    edges while keeping original ids is NOT sound: a dropped edge can
+    still need to carry a later, smaller label.)"""
+    import os
+    import shutil
+
+    from ..graph import partition_edges
+    from ..joins import hash_bucket_join
+
+    sym = derive_direction(graph, "sym")
+    boundaries = sym.boundaries
+    scratch = os.path.join(graph.root, "_contract")
+    live = sym
+    mapping = None  # Dataset (v, m): v's label through completed phases
+    contract_log = [(0, sym.num_edges)]
+    all_metrics = []
+    eng = None
+    for phase in range(32):
+        eng = Engine(live, WCCKernel(), **engine_kw)
+        state = eng.run(max_supersteps=min(contract_every, max_supersteps))
+        all_metrics.extend(eng.metrics)
+        labels = state.map_batches(
+            lambda t: pa.table({"_lv": t["v"], "_lab": t["val"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if mapping is None:
+            mapping = state.select_columns(["v", "val"]).map_batches(
+                lambda t: pa.table({"v": t["v"], "m": t["val"]}),
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            mapping = hash_bucket_join(mapping, labels,
+                                       left_on="m", right_on="_lv")
+            mapping = mapping.map_batches(
+                lambda t: pa.table({"v": t["v"], "m": t["_lab"]}),
+                batch_format="pyarrow",
+            ).materialize()
+        converged = int(eng.globals.get("changed") or 0) == 0
+        if converged or live.num_edges == 0:
+            break
+        # contract: crossing edges relabelled to their endpoint labels
+        e = hash_bucket_join(live.edges_dataset(), labels,
+                             left_on="src", right_on="_lv")
+        e = e.map_batches(
+            lambda t: pa.table({"dst": t["dst"], "_ls": t["_lab"]}),
+            batch_format="pyarrow",
+        )
+        e = hash_bucket_join(e, labels, left_on="dst", right_on="_lv")
+        e = e.map_batches(
+            lambda t: t.filter(
+                pa.compute.not_equal(t["_ls"], t["_lab"])
+            ).select(["_ls", "_lab"]).rename_columns(["src", "dst"]),
+            batch_format="pyarrow",
+        )
+        root2 = os.path.join(scratch, f"phase_{phase:03d}")
+        shutil.rmtree(root2, ignore_errors=True)
+        os.makedirs(root2, exist_ok=True)
+        live = partition_edges(e, root2, graph.num_vertices,
+                               len(boundaries) - 1, "sym",
+                               boundaries=boundaries, symmetrize=False)
+        contract_log.append((phase + 1, live.num_edges))
+    # final state in the engine's row shape: (part, v, val=mapped label)
+    from ..graph import part_of
+
+    def to_state(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        return eng.kernel.rows(part_of(v, boundaries), v, 0, {
+            "val": m, "active": np.zeros(n, np.int8),
+            "changed": np.zeros(n, np.int64), "in_msgs": np.zeros(n, np.int64),
+        })
+
+    final = mapping.map_batches(to_state, batch_format="pyarrow")
+    eng.metrics = all_metrics
+    eng.contract_log = contract_log
+    return final, eng
 
 
 def hop_extrema_seeds(graph: Graph):

@@ -29,6 +29,23 @@ def test_wcc_precomputed_matches_plain(name, tmp_root):
     assert len(e2.metrics) <= len(e1.metrics)
 
 
+@pytest.mark.parametrize("name", ["two_cliques", "tri_tail", "star"])
+def test_wcc_contraction_matches_plain(name, tmp_root):
+    """Supervertex contraction reaches the identical min-label fixpoint."""
+    from planar_ray.kernels import wcc
+
+    edges, n = CASES[name]
+    g = make_graph(edges, f"{tmp_root}/wccc_{name}")
+    s1, _e1 = wcc(g)
+    s2, e2 = wcc(g, contract_every=2)
+    l1 = s1.to_pandas().sort_values("v")["val"].to_numpy()
+    l2 = s2.to_pandas().sort_values("v")["val"].to_numpy()
+    assert (l1 == l2).all()
+    # contraction never grows the live edge set
+    sizes = [e for _p, e in e2.contract_log]
+    assert sizes == sorted(sizes, reverse=True)
+
+
 def test_pair_jaccards_matches_local_sets():
     """Distributed verify == local set-based Jaccard on the same pairs."""
     import re
