@@ -97,19 +97,57 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     extra["triangles"] = triangle_count(g)
     queries["triangles"] = time.monotonic() - t0
 
-    # training-data ops over the sf tables
-    from planar_ray.pipelines.ann import q_ann_topk
-    from planar_ray.pipelines.docs import q_doc_exact_dedup, q_doc_minhash_dedup
-    from planar_ray.pipelines.events import q_events_sessionize
+    # remaining graph apps over the bench graph
+    from planar_ray.kernels import (
+        boruvka,
+        coloring,
+        gnn,
+        random_walk,
+        wcc_precomputed,
+    )
 
-    t0 = time.monotonic(); q_doc_exact_dedup(sf_dir)
-    queries["doc_exact_dedup"] = time.monotonic() - t0
-    t0 = time.monotonic(); q_doc_minhash_dedup(sf_dir)
-    queries["doc_minhash_dedup"] = time.monotonic() - t0
-    t0 = time.monotonic(); q_ann_topk(sf_dir)
-    queries["ann_topk"] = time.monotonic() - t0
-    t0 = time.monotonic(); q_events_sessionize(sf_dir)
-    queries["events_sessionize"] = time.monotonic() - t0
+    t0 = time.monotonic(); _s, peng = wcc_precomputed(g)
+    queries["wcc_precomp"] = time.monotonic() - t0
+    extra["wcc_precomp_supersteps"] = len(peng.metrics)
+    t0 = time.monotonic(); coloring(g, stats_every=1)
+    queries["coloring"] = time.monotonic() - t0
+    t0 = time.monotonic(); _l, fedges = boruvka(g)
+    queries["mst"] = time.monotonic() - t0
+    extra["mst_forest_edges"] = len(fedges)
+    t0 = time.monotonic(); random_walk(g).count()
+    queries["randomwalk"] = time.monotonic() - t0
+    t0 = time.monotonic(); gnn(g, layers=2)
+    queries["gnn"] = time.monotonic() - t0
+
+    # training-data ops over the sf tables
+    from planar_ray.pipelines.ann import (
+        q_ann_lsh_topk,
+        q_ann_neardup,
+        q_ann_topk,
+    )
+    from planar_ray.pipelines.docs import (
+        q_doc_exact_dedup,
+        q_doc_fingerprint,
+        q_doc_minhash_dedup,
+        q_doc_quality,
+        q_doc_simhash,
+    )
+    from planar_ray.pipelines.events import q_events_sessionize, q_events_window
+
+    for qname, fn in [
+        ("doc_exact_dedup", q_doc_exact_dedup),
+        ("doc_minhash_dedup", q_doc_minhash_dedup),
+        ("doc_quality", q_doc_quality),
+        ("doc_simhash", q_doc_simhash),
+        ("doc_fingerprint", q_doc_fingerprint),
+        ("ann_topk", q_ann_topk),
+        ("ann_neardup", q_ann_neardup),
+        ("ann_lsh_topk", q_ann_lsh_topk),
+        ("events_window", q_events_window),
+        ("events_sessionize", q_events_sessionize),
+    ]:
+        t0 = time.monotonic(); fn(sf_dir)
+        queries[qname] = time.monotonic() - t0
 
     return {"queries": {k: round(v, 2) for k, v in queries.items()}, "extra": extra}
 

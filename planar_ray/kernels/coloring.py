@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
-
 from ..graph import CSRPart, Graph, derive_direction
 from ..superstep import Engine, Kernel
 from ..util import splitmix64

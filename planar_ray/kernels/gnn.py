@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Max
-
 from ..graph import CSRPart, Graph
 from ..superstep import Engine, Kernel
 

@@ -119,8 +119,24 @@ def _resolve_roots(choice: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"comp": list(parent), "root": [parent[c] for c in parent]})
 
 
-def boruvka(graph: Graph, max_rounds: int = 50):
-    """Returns (labels DataFrame (v, label), forest edge list DataFrame)."""
+BROADCAST_V_MAX = 50_000_000  # dense label array broadcast cap (400 MB)
+
+
+def boruvka(graph: Graph, max_rounds: int = 50,
+            broadcast_threshold: int = BROADCAST_V_MAX):
+    """Returns (labels DataFrame (v, label), forest edge list DataFrame).
+
+    Two physical plans with identical results:
+    * V <= broadcast_threshold — labels live in one dense array that is
+      ``ray.put`` once per round; the crossing filter is a stateless map
+      against it and the label update is a vectorised driver-side apply
+      (the same documented driver-array trade-off as
+      pagerank_reference). One small min-choice shuffle per round.
+    * beyond the threshold — labels stay a dataset and each round runs
+      the two label joins (_crossing) + the min-choice shuffle; the only
+      driver-side table is the per-component choice (shrinks
+      geometrically), as before.
+    """
     import ray.data as rd
 
     V = graph.num_vertices
@@ -141,6 +157,9 @@ def boruvka(graph: Graph, max_rounds: int = 50):
     edges = edges.groupby(["src", "dst"]).aggregate(
         Min(on="ekey", alias_name="ekey")
     ).select_columns(["src", "dst", "ekey"]).materialize()
+
+    if V <= broadcast_threshold:
+        return _boruvka_broadcast(edges, V, max_rounds)
 
     labs = rd.range(V).map_batches(
         lambda t: pa.table({"v": t["id"].combine_chunks().cast(pa.int64()),
@@ -182,6 +201,77 @@ def boruvka(graph: Graph, max_rounds: int = 50):
         ).materialize()
 
     labels = labs.to_pandas().sort_values("v").reset_index(drop=True)
+    fedges = (
+        pd.concat(forest).drop_duplicates().sort_values(["src", "dst"]).reset_index(drop=True)
+        if forest else pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                     "dst": pd.Series([], dtype="int64")})
+    )
+    return labels, fedges
+
+
+def _boruvka_broadcast(edges: "Dataset", V: int, max_rounds: int):
+    """Broadcast-label Borůvka (see boruvka): same rounds, same choices,
+    same forest — the label table is a dense array updated driver-side."""
+    import ray
+
+    label = np.arange(V, dtype=np.int64)
+    forest: list[pd.DataFrame] = []
+    for _ in range(max_rounds):
+        ref = ray.put(label)
+
+        def crossing_fn(t: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            ls, ld = lab[s], lab[d]
+            keep = ls != ld
+            return pa.table({
+                "src": pa.array(s[keep]), "dst": pa.array(d[keep]),
+                "ekey": t["ekey"].filter(pa.array(keep)),
+                "ls": pa.array(ls[keep]), "ld": pa.array(ld[keep]),
+            })
+
+        crossing = edges.map_batches(crossing_fn,
+                                     batch_format="pyarrow").materialize()
+        if crossing.count() == 0:
+            break
+        edges = crossing.select_columns(["src", "dst", "ekey"])  # contract
+        # per-batch combiner then a DRIVER-side final pick: the combined
+        # partials are bounded by components-per-batch and the choice
+        # table lands on the driver anyway (for _resolve_roots) — this
+        # saves the per-round bucket shuffle of the dataset path
+        partial = crossing.map_batches(
+            lambda t: _pick_min(pa.table({
+                "comp": pa.concat_arrays([t["ls"].combine_chunks(),
+                                          t["ld"].combine_chunks()]),
+                "to": pa.concat_arrays([t["ld"].combine_chunks(),
+                                        t["ls"].combine_chunks()]),
+                "ekey": pa.concat_arrays([t["ekey"].combine_chunks(),
+                                          t["ekey"].combine_chunks()]),
+            })),
+            batch_format="pyarrow",
+        ).to_pandas()
+        choice = (
+            partial.sort_values(["comp", "ekey", "to"])
+            .drop_duplicates("comp", keep="first").reset_index(drop=True)
+        )
+        sel = choice.drop_duplicates("ekey")[["ekey"]]
+        forest.append(pd.DataFrame({
+            "src": (sel["ekey"] // V).astype("int64"),
+            "dst": (sel["ekey"] % V).astype("int64"),
+        }))
+        roots = _resolve_roots(choice)
+        # vectorised label apply: comp -> root via sorted lookup
+        comp = roots["comp"].to_numpy(dtype=np.int64)
+        root = roots["root"].to_numpy(dtype=np.int64)
+        order = np.argsort(comp)
+        comp, root = comp[order], root[order]
+        pos = np.searchsorted(comp, label)
+        pos = np.minimum(pos, max(len(comp) - 1, 0))
+        hit = (len(comp) > 0) & (comp[np.minimum(pos, len(comp) - 1)] == label)
+        label = np.where(hit, root[np.minimum(pos, len(comp) - 1)], label)
+
+    labels = pd.DataFrame({"v": np.arange(V, dtype=np.int64), "label": label})
     fedges = (
         pd.concat(forest).drop_duplicates().sort_values(["src", "dst"]).reset_index(drop=True)
         if forest else pd.DataFrame({"src": pd.Series([], dtype="int64"),

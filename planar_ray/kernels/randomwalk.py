@@ -79,11 +79,41 @@ def road_dataset(graph: Graph, L: int = WALK_LENGTH) -> Dataset:
     )
 
 
-def random_walk(graph: Graph, L: int = WALK_LENGTH) -> Dataset:
-    """Replay: returns (origin, final_v) after L steps for every vertex."""
+def random_walk(graph: Graph, L: int = WALK_LENGTH,
+                broadcast_threshold: int = 10_000_000) -> Dataset:
+    """Replay: returns (origin, final_v) after L steps for every vertex.
+
+    Under the broadcast threshold (V*L int64 fits an object-store slab)
+    the road matrix is broadcast once and ONE stateless map replays all
+    L steps; beyond it, the replay is L hash-bucket joins (each a
+    hash-partitioned exchange of V rows) — identical output.
+    """
     import ray.data as rd
 
     road = road_dataset(graph, L).materialize()
+
+    if graph.num_vertices * L <= broadcast_threshold:
+        import ray
+
+        mat = np.tile(np.arange(graph.num_vertices, dtype=np.int64)[:, None],
+                      (1, L))
+        for t in road.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            mat[t["v"].to_numpy(zero_copy_only=False),
+                t["step"].to_numpy(zero_copy_only=False)] = \
+                t["nxt"].to_numpy(zero_copy_only=False)
+        ref = ray.put(mat)
+
+        def replay(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            origin = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cur = origin.copy()
+            for i in range(L):
+                cur = m[cur, i]
+            return pa.table({"origin": pa.array(origin),
+                             "final_v": pa.array(cur)})
+
+        return rd.range(graph.num_vertices).map_batches(
+            replay, batch_format="pyarrow")
     walks = rd.range(graph.num_vertices).map_batches(
         lambda t: pa.table({
             "origin": t["id"].combine_chunks().cast(pa.int64()),

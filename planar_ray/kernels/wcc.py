@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
-
 from ..graph import CSRPart, Graph, derive_direction
 from ..superstep import Engine, Kernel, combine_min
 
@@ -72,15 +70,11 @@ def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
         resume=False, contract_every: int = 0, **engine_kw):
     """Min-label WCC to fixpoint; returns (state Dataset, engine).
 
-    ``contract_every=k`` rebuilds the live edge set every k supersteps,
-    dropping edges whose endpoints already share a label — the
+    ``contract_every=k`` enables supervertex contraction — the
     reference's Contract step (wcc_app_op.h:100-121 /
     mutable_block_csr_graph.h:168-263) re-expressed as an immutable
-    rebuild: filter via two label joins, re-partition with the SAME
-    vertex-range boundaries (state partitioning stays aligned), swap the
-    engine's CSRs. Labels at fixpoint are identical; the scatter volume
-    of later supersteps shrinks with the live-edge fraction (recorded in
-    ``eng.contract_log``).
+    rebuild (see _wcc_contracting). Labels at fixpoint are identical;
+    the live edge volume shrinks per phase (``eng.contract_log``).
     """
     derive_direction(graph, "sym")
     if not contract_every:
@@ -177,11 +171,16 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
     return final, eng
 
 
-def hop_extrema_seeds(graph: Graph):
+def hop_extrema_seeds(graph: Graph, broadcast_threshold: int = 50_000_000):
     """(v, seed) dataset: seed = min(v, 1-hop min, 2-hop min) over the
     symmetrised graph — the reference's NVMe precomputing pipeline
     (/root/reference/nvme/precomputing/basic.h:26-283,
-    two_hop_neighbor.h) as two aggregate shuffles + one hop join."""
+    two_hop_neighbor.h).
+
+    Under the broadcast threshold: two shuffle-free per-partition CSR
+    passes (segment-min per vertex, then segment-min over the broadcast
+    1-hop array). Beyond it: two aggregate shuffles + one hop join.
+    """
     import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -189,6 +188,8 @@ def hop_extrema_seeds(graph: Graph):
     from ..joins import hash_bucket_join
 
     sym = derive_direction(graph, "sym")
+    if graph.num_vertices <= broadcast_threshold:
+        return _hop_seeds_broadcast(sym)
     e = sym.edges_dataset().materialize()
     h1 = e.groupby("src").aggregate(Min(on="dst", alias_name="min1")).materialize()
     withh = hash_bucket_join(
@@ -226,6 +227,74 @@ def hop_extrema_seeds(graph: Graph):
                          "seed": pa.array(seed.astype(np.int64))})
 
     return seeds.map_batches(finish, batch_format="pyarrow")
+
+
+def _hop_seeds_broadcast(sym: Graph):
+    """Shuffle-free hop-extrema seeds: per-partition CSR segment-mins."""
+    import ray
+    import ray.data as rd
+
+    INF = np.iinfo(np.int64).max
+    boundaries = sym.boundaries
+    root, direction, P = sym.root, sym.direction, sym.num_parts
+
+    def _parts_ds():
+        return rd.range(P, override_num_blocks=P)
+
+    def seg_min(csr, vals: np.ndarray | None) -> np.ndarray:
+        """Per-vertex min over each CSR row (of neighbor ids, or of
+        ``vals[neighbor]`` when vals is given); INF for empty rows."""
+        n = csr.end - csr.begin
+        src = csr.indices if vals is None else vals[csr.indices]
+        out = np.full(n, INF, dtype=np.int64)
+        counts = np.diff(csr.indptr)
+        nz = counts > 0
+        if nz.any():
+            starts = csr.indptr[:-1][nz]
+            out[nz] = np.minimum.reduceat(src, starts)
+        return out
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        from ..graph import CSRPart
+        import os
+
+        outs = []
+        for p in batch["id"].to_numpy():
+            p = int(p)
+            begin, end = int(boundaries[p]), int(boundaries[p + 1])
+            csr = CSRPart.load(os.path.join(root, direction, f"part={p:05d}"),
+                               begin, end)
+            v = np.arange(begin, end, dtype=np.int64)
+            outs.append(pa.table({"v": pa.array(v),
+                                  "h1": pa.array(seg_min(csr, None))}))
+        return pa.concat_tables(outs)
+
+    h1 = np.full(sym.num_vertices, INF, dtype=np.int64)
+    for t in _parts_ds().map_batches(pass1, batch_format="pyarrow",
+                                     batch_size=1).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        h1[t["v"].to_numpy(zero_copy_only=False)] = \
+            t["h1"].to_numpy(zero_copy_only=False)
+    h1_ref = ray.put(h1)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        from ..graph import CSRPart
+        import os
+
+        h1v = ray.get(h1_ref)
+        outs = []
+        for p in batch["id"].to_numpy():
+            p = int(p)
+            begin, end = int(boundaries[p]), int(boundaries[p + 1])
+            csr = CSRPart.load(os.path.join(root, direction, f"part={p:05d}"),
+                               begin, end)
+            v = np.arange(begin, end, dtype=np.int64)
+            h2 = seg_min(csr, h1v)
+            seed = np.minimum(v, np.minimum(h1v[begin:end], h2))
+            outs.append(pa.table({"v": pa.array(v), "seed": pa.array(seed)}))
+        return pa.concat_tables(outs)
+
+    return _parts_ds().map_batches(pass2, batch_format="pyarrow", batch_size=1)
 
 
 def wcc_precomputed(graph: Graph, max_supersteps=200, **engine_kw):
