@@ -101,6 +101,58 @@ def test_partition_dedup_in_parts_equivalence(tmp_root):
     assert got == want
 
 
+def test_bfs_partitioner_and_relabel(tmp_root):
+    """S13: BFS order is a permutation, improves (or ties) the edge cut,
+    and relabelled-graph WCC labels map back to the plain labels."""
+    from planar_ray.kernels import wcc
+    from planar_ray.partition_quality import (
+        bfs_assign,
+        bfs_order,
+        edge_cut_fraction,
+        hash_assign,
+        relabel_graph,
+    )
+
+    edges, n = CASES["two_cliques"]
+    g = make_graph(edges, f"{tmp_root}/pq_two")
+    rank = bfs_order(g)
+    assert sorted(rank.tolist()) == list(range(n))
+    e = g.edges_dataset().materialize()
+    cut_bfs = edge_cut_fraction(e, bfs_assign(g, g.num_parts))
+    cut_hash = edge_cut_fraction(e, hash_assign(g.num_parts))
+    assert cut_bfs <= cut_hash + 1e-9
+    g2 = relabel_graph(g, rank, f"{tmp_root}/pq_two_bfs")
+    s1, _ = wcc(g)
+    s2, _ = wcc(g2)
+    l1 = s1.to_pandas().sort_values("v")["val"].to_numpy()
+    l2 = s2.to_pandas().sort_values("v")["val"].to_numpy()
+    # map the relabelled labels back: component SETS must be identical
+    import numpy as np
+
+    inv = np.empty(n, dtype=np.int64)
+    inv[rank] = np.arange(n)
+    back = inv[l2[rank]]  # label of old-id v, expressed as an old id
+    groups1 = {}
+    groups2 = {}
+    for v in range(n):
+        groups1.setdefault(int(l1[v]), set()).add(v)
+        groups2.setdefault(int(back[v]), set()).add(v)
+    assert sorted(map(sorted, groups1.values())) == sorted(map(sorted, groups2.values()))
+
+
+def test_grid_blocks_cover_all_edges(tmp_root):
+    """S14: every edge lands in exactly one (src_part, dst_part) block."""
+    from planar_ray.partition_quality import grid_blocks
+
+    edges, n = CASES["two_cliques"]
+    g = make_graph(edges, f"{tmp_root}/grid_two")
+    e = g.edges_dataset().materialize()
+    gb = grid_blocks(e, 2).materialize()
+    assert gb.count() == e.count()
+    blocks = gb.to_pandas()["block"].unique()
+    assert set(blocks).issubset(set(range(4)))
+
+
 def test_hash_bucket_join_preserves_big_int64():
     """Join keys above 2^53 must survive exactly (no float64 transit)."""
     from planar_ray.joins import hash_bucket_join
