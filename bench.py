@@ -33,6 +33,8 @@ def _eprint(*a):
 
 
 def _init_ray(ncpu: int):
+    import logging
+
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
@@ -42,6 +44,11 @@ def _init_ray(ncpu: int):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # our UDFs all emit typed empty tables; the remaining "RefBundle with
+    # a different schema" warnings come from Ray's own zero-row sort
+    # partitions (schema-less blocks Ray emits internally), so keep the
+    # bench log at ERROR
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
 def _bench_graph(ncpu: int):

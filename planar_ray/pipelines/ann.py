@@ -339,6 +339,49 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+EMB_DIM = 64  # testdata embedding dimension (asserted by the oracle match)
+
+
+def _lsh_sql() -> str:
+    """SQL twin of q_ann_lsh_topk: the random hyperplanes are embedded as
+    float constants (repr round-trips float64 exactly), the bucket is the
+    little-endian packed sign byte, and per-bucket brute force mirrors
+    the per-group ranking. Sign flips require |dot| within float rounding
+    of zero — vanishingly unlikely for gaussian planes."""
+    planes = _lsh_planes(EMB_DIM)
+    bits = []
+    for j in range(LSH_BITS):
+        vec = ", ".join(repr(float(planes[i][j])) for i in range(EMB_DIM))
+        bits.append(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),"
+            f" [{vec}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b ORDER BY vec_id LIMIT {N_QUERIES}),
+cand AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q JOIN b e ON e.bucket = q.qb),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       sim
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _lsh_sql()
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_neardup": q_ann_neardup,
@@ -350,4 +393,5 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_neardup": SQL_ANN_NEARDUP,
     "ann_knn_label": SQL_ANN_KNN_LABEL,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
 }
