@@ -31,8 +31,24 @@ from ..graph import Graph
 from ..joins import hash_bucket_join
 
 
-def canonical_edges(edges: Dataset) -> Dataset:
-    """(src,dst) any direction -> distinct undirected (a<b) pairs."""
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    if len(a):
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
+    return a, b
+
+
+def canonical_edges(edges: Dataset, buckets: int = 64) -> Dataset:
+    """(src,dst) any direction -> distinct undirected (a<b) pairs.
+
+    Dedup = per-batch combiner + ONE bucket shuffle with a vectorised
+    per-bucket unique — Ray's multi-key sort-aggregate sorts the full
+    16M-row table by (a,b) and was the dominant cost of triangle
+    counting at that scale."""
+
     def canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
@@ -40,10 +56,23 @@ def canonical_edges(edges: Dataset) -> Dataset:
         s, d = s[keep], d[keep]
         a = np.minimum(s, d)
         b = np.maximum(s, d)
+        a, b = _dedup_pairs(a, b)  # local combiner
+        h = a.astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= b.astype(np.uint64) * np.uint64(0x94D049BB133111EB)
+        bucket = (h % np.uint64(buckets)).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bucket": pa.array(bucket)})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        a, b = _dedup_pairs(t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False))
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    e = edges.map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    from ..joins import coalesce
+
+    e = coalesce(edges.map_batches(canon, batch_format="pyarrow"))
+    return e.groupby("bucket").map_groups(uniq, batch_format="pyarrow")
 
 
 def triangle_count(graph: Graph, buckets: int = 64,
@@ -178,32 +207,36 @@ def _triangle_broadcast(canon, V: int, buckets: int) -> int:
 
     def wedge_close(t: pa.Table) -> pa.Table:
         """One bucket: vectorised wedge generation per source run + local
-        close against the broadcast key array. Wedges never leave here."""
+        close against the broadcast key array. Wedges never leave here.
+        Runs are processed GROUPED BY OUT-DEGREE so the work is exactly
+        the wedge count (a stride-k scan would pay O(max_deg x rows) in
+        mask overhead — measured 3x slower on the 16M-edge Zipf graph)."""
         ks = ray.get(keys_ref)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         order = np.lexsort((y, x))
         x, y = x[order], y[order]
         n = len(x)
+        if n == 0 or len(ks) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
         run = np.zeros(n, dtype=np.int64)
-        if n:
-            run[1:] = np.cumsum(x[1:] != x[:-1])
-        counts = np.bincount(run) if n else np.empty(0, np.int64)
+        run[1:] = np.cumsum(x[1:] != x[:-1])
+        counts = np.bincount(run)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         hits = 0
-        kmax = int(counts.max()) if len(counts) else 0
-        idx = np.arange(n)
-        # stride-k pairing: for k in 1..outdeg-1, pair each y with the
-        # y k slots later in the same source run (y sorted => y1 < y2)
-        for k in range(1, kmax):
-            ok = idx + k < n
-            same = np.zeros(n, dtype=bool)
-            same[ok] = run[idx[ok] + k] == run[idx[ok]]
-            y1 = y[same]
-            y2 = y[idx[same] + k]
-            pair = y1 * V + y2
-            pos = np.searchsorted(ks, pair)
-            pos = np.minimum(pos, max(len(ks) - 1, 0))
-            if len(ks):
+        CHUNK = 4_000_000  # cap pair-buffer memory per step
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            R = starts[counts == c]  # all runs with out-degree c
+            i, j = np.triu_indices(int(c), 1)
+            m = len(i)
+            # chunk over runs so |runs_chunk| * m stays bounded
+            rows_per = max(1, CHUNK // m)
+            for lo in range(0, len(R), rows_per):
+                Rc = R[lo:lo + rows_per][:, None]
+                pair = (y[Rc + i[None, :]] * V + y[Rc + j[None, :]]).ravel()
+                pos = np.minimum(np.searchsorted(ks, pair), len(ks) - 1)
                 hits += int((ks[pos] == pair).sum())
         return pa.table({"n": pa.array([hits], pa.int64())})
 

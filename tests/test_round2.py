@@ -153,6 +153,41 @@ def test_grid_blocks_cover_all_edges(tmp_root):
     assert set(blocks).issubset(set(range(4)))
 
 
+def test_scale_plan_equals_broadcast_plan(tmp_root):
+    """The >threshold join/shuffle plans (what a 100 TB run would use)
+    must produce bit-identical results to the broadcast fast paths."""
+    from planar_ray.kernels import boruvka, random_walk
+    from planar_ray.kernels.triangle import triangle_count
+
+    edges, n = CASES["two_cliques"]
+    g = make_graph(edges, f"{tmp_root}/scale_two")
+
+    lb, fb = boruvka(g)  # broadcast plan
+    lj, fj = boruvka(g, broadcast_threshold=0)  # join plan
+    assert fb.equals(fj)
+    assert (lb.sort_values("v")["label"].to_numpy()
+            == lj.sort_values("v")["label"].to_numpy()).all()
+
+    rb = random_walk(g).to_pandas().sort_values("origin")
+    rj = random_walk(g, broadcast_threshold=0).to_pandas().sort_values("origin")
+    assert (rb["final_v"].to_numpy() == rj["final_v"].to_numpy()).all()
+
+    tb = triangle_count(g)  # broadcast plan
+    tj = triangle_count(g, broadcast_threshold=0)  # join plan
+    assert tb == tj
+
+
+def test_hop_seeds_join_plan_matches_broadcast(tmp_root):
+    from planar_ray.kernels import hop_extrema_seeds
+
+    edges, n = CASES["tri_tail"]
+    g = make_graph(edges, f"{tmp_root}/seeds_tt")
+    b = hop_extrema_seeds(g).to_pandas().sort_values("v").reset_index(drop=True)
+    j = hop_extrema_seeds(g, broadcast_threshold=0).to_pandas().sort_values(
+        "v").reset_index(drop=True)
+    assert b.equals(j)
+
+
 def test_hash_bucket_join_preserves_big_int64():
     """Join keys above 2^53 must survive exactly (no float64 transit)."""
     from planar_ray.joins import hash_bucket_join
