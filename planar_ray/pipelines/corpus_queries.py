@@ -128,6 +128,48 @@ def q_corpus_gnn(sf_dir: str) -> pa.Table:
     return pa.table(data)
 
 
+def q_corpus_mst(sf_dir: str) -> pa.Table:
+    g, _ = _build()
+    _labels, fedges = __import__(
+        "planar_ray.kernels", fromlist=["boruvka"]).boruvka(g)
+    return pa.Table.from_pandas(fedges, preserve_index=False)
+
+
+def q_corpus_sssp(sf_dir: str) -> pa.Table:
+    from ..kernels import sssp
+    from ..kernels.sssp import INF
+
+    g, vdict = _build()
+    # undirected hop distances (sym direction) so the result covers the
+    # whole component of vertex 0, not just its directed out-cone
+    from ..graph import derive_direction
+
+    derive_direction(g, "sym")
+    state, _eng = sssp(g, source=0, max_supersteps=50, direction="sym")
+    df = _with_keys(state, vdict, ["val"])
+    df = df[df["val"] < int(INF)]
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "dist": pa.array(df["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_corpus_wcc_precomp(sf_dir: str) -> pa.Table:
+    from ..kernels import wcc_precomputed
+
+    g, vdict = _build()
+    state, _eng = wcc_precomputed(g)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table(
+        {
+            "node_key": pa.array(df["key"]),
+            "component": pa.array(df["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
 QUERIES = {
     "corpus_edges": q_corpus_edges,
     "corpus_pagerank": q_corpus_pagerank,
@@ -137,4 +179,7 @@ QUERIES = {
     "corpus_coloring": q_corpus_coloring,
     "corpus_randomwalk": q_corpus_randomwalk,
     "corpus_gnn": q_corpus_gnn,
+    "corpus_mst": q_corpus_mst,
+    "corpus_sssp": q_corpus_sssp,
+    "corpus_wcc_precomp": q_corpus_wcc_precomp,
 }
