@@ -102,5 +102,90 @@ def q_mm_features(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
-QUERIES = {"mm_features": q_mm_features}
+FRAME_BYTES = 64   # fake "frame" = fixed-size byte chunk of the payload
+FRAME_STRIDE = 4   # sample every 4th frame
+
+
+class FrameSampler:
+    """Video-style stage: split each payload into fixed-size frames,
+    deterministically sample every FRAME_STRIDE-th, emit one row per
+    sampled frame with its features — the 1->N flat-map shape a video
+    pipeline needs (frame decode itself would ride ``decode_image``)."""
+
+    def __init__(self, seed: int = 31):
+        rng = np.random.default_rng(seed)
+        self.weights = rng.standard_normal((HIST_BINS, FEATURE_DIM))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, feats = [], [], []
+        for did, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            raw = np.frombuffer(p, dtype=np.uint8)
+            n_frames = max(1, len(raw) // FRAME_BYTES)
+            for f in range(0, n_frames, FRAME_STRIDE):
+                chunk = raw[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                hist = np.bincount(chunk >> 4, minlength=HIST_BINS).astype(np.float64)
+                s = hist.sum()
+                sig = hist / s if s else hist
+                doc_ids.append(did)
+                frame_idx.append(f)
+                feats.append(np.round(sig @ self.weights, 6).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def q_mm_frame_sample(sf_dir: str) -> pa.Table:
+    ds = payloads_from_docs(sf_dir)
+    out = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), num_cpus=1,
+    ).to_pandas()
+    out = out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def resize_signal(sig: np.ndarray, out_bins: int) -> np.ndarray:
+    """Deterministic 'resize': average-pool the histogram signal — the
+    shape a real image resize stage would take (decode -> pool -> encode)."""
+    assert HIST_BINS % out_bins == 0
+    return sig.reshape(out_bins, HIST_BINS // out_bins).mean(axis=1)
+
+
+def q_mm_resize(sf_dir: str) -> pa.Table:
+    """Decode -> resize -> re-encode plumbing: emits a reduced-resolution
+    binary payload plus its size, exercising binary-out schemas."""
+    ds = payloads_from_docs(sf_dir)
+    out_bins = HIST_BINS // 2
+
+    def resize_batch(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        outs = []
+        for p in payloads:
+            sig = fake_decode(p)
+            small = resize_signal(sig, out_bins)
+            outs.append(np.round(small * 255).astype(np.uint8).tobytes())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "resized": pa.array(outs, pa.binary()),
+                "n_bytes": pa.array([len(o) for o in outs], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(resize_batch, batch_format="pyarrow",
+                         batch_size=256).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES = {
+    "mm_features": q_mm_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
+}
 ORACLES: dict[str, str] = {}

@@ -188,6 +188,22 @@ def test_hop_seeds_join_plan_matches_broadcast(tmp_root):
     assert b.equals(j)
 
 
+def test_mm_frame_sample_and_resize():
+    from planar_ray.pipelines.multimodal import (
+        FRAME_STRIDE,
+        q_mm_frame_sample,
+        q_mm_resize,
+    )
+
+    fs = q_mm_frame_sample(SF).to_pandas()
+    assert set(fs.columns) == {"doc_id", "frame_idx", "feature"}
+    assert (fs["frame_idx"] % FRAME_STRIDE == 0).all()
+    assert fs["doc_id"].nunique() == 500
+    rz = q_mm_resize(SF).to_pandas()
+    assert len(rz) == 500
+    assert (rz["n_bytes"] == 8).all()  # HIST_BINS // 2 bytes per payload
+
+
 def test_hash_bucket_join_preserves_big_int64():
     """Join keys above 2^53 must survive exactly (no float64 transit)."""
     from planar_ray.joins import hash_bucket_join
