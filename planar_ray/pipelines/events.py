@@ -74,37 +74,70 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_BUCKETS = 64
+
+
 def q_events_sessionize(sf_dir: str) -> pa.Table:
+    """30-minute-gap sessions per user. Users are hash-bucketed into a
+    BOUNDED number of shuffle groups and each group runs ONE vectorised
+    scan over all its users (sorted (user, ts, event_id) + break mask) —
+    not one Python call per user."""
+    from ..util import splitmix64
+
     ev = _read_events(sf_dir, ["user_id", "event_id", "ts"])
 
     def cast_us(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(u.astype(np.uint64))
+             % np.uint64(SESSION_BUCKETS)).astype(np.int64)
         return pa.table(
             {
                 "user_id": t["user_id"],
                 "event_id": t["event_id"],
                 "us": t["ts"].cast(pa.int64()),
+                "bucket": pa.array(b),
             }
         )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
-        us = g["us"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+    def sessions(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.schema([
+                ("user_id", pa.int64()), ("session_id", pa.int64()),
+                ("n_events", pa.int64()), ("start_us", pa.int64()),
+                ("end_us", pa.int64())]).empty_table()
+        order = np.lexsort((eid, us, u))
+        u, us = u[order], us[order]
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        brk[1:] |= np.diff(us) > GAP_US
         sid = np.cumsum(brk)
-        out = g.assign(session_id=sid).groupby("session_id").agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "size"),
-            start_us=("us", "min"),
-            end_us=("us", "max"),
-        ).reset_index()
-        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+        # per-user 1-based session ids: subtract the sid at the user's head
+        ustarts = np.flatnonzero(new_user)
+        per_user_base = np.repeat(sid[ustarts],
+                                  np.diff(np.concatenate([ustarts, [n]])))
+        local_sid = sid - per_user_base + 1
+        gstart = np.flatnonzero(brk)
+        gend = np.concatenate([gstart[1:], [n]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[gstart]),
+                "session_id": pa.array(local_sid[gstart]),
+                "n_events": pa.array((gend - gstart + 1).astype(np.int64)),
+                "start_us": pa.array(us[gstart]),
+                "end_us": pa.array(us[gend]),
+            }
+        )
 
     out = (
         ev.map_batches(cast_us, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
     )
     out = out.astype({c: "int64" for c in out.columns})
