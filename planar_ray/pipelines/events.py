@@ -168,12 +168,72 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+HOP_US = 900_000_000  # 15-min hop; window = WINDOW_US (1 h) -> 4 windows/event
+HOPS = WINDOW_US // HOP_US
+
+
+def q_events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) 1-hour windows every 15 min per event_type: each
+    event lands in WINDOW/HOP windows — a vectorised 1->4 flat map, then
+    the same aggregate shuffle as the tumbling window."""
+    ev = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_pylist()
+        n = len(us)
+        # window w (indexed by start hop) contains ts iff
+        # w*HOP <= ts < w*HOP + WINDOW  =>  w in (ts-WINDOW, ts] / HOP
+        last = us // HOP_US
+        wid = np.repeat(last, HOPS) - np.tile(np.arange(HOPS, dtype=np.int64), n)
+        keep = wid >= 0
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(np.asarray(et, object), HOPS)[keep]),
+                "window_start_id": pa.array(wid[keep]),
+                "value": pa.array(np.repeat(val, HOPS)[keep]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ev.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_id"])
+        .aggregate(Count(alias_name="n"), Sum(on="value", alias_name="sv"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"]),
+            "window_start_id": pa.array(out["window_start_id"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+            "sum_value": pa.array(np.round(out["sv"].to_numpy(), 6)),
+        }
+    )
+
+
+SQL_EVENTS_HOPPING = f"""
+WITH hops AS MATERIALIZED (
+  SELECT e.event_type, e.value,
+         epoch_us(e.ts) // {HOP_US} - h.k AS window_start_id
+  FROM events e CROSS JOIN (SELECT UNNEST(range({HOPS})) AS k) h
+  WHERE epoch_us(e.ts) // {HOP_US} - h.k >= 0)
+SELECT event_type, CAST(window_start_id AS BIGINT) AS window_start_id,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM hops GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+    "events_hopping": q_events_hopping,
 }
 
 ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_hopping": SQL_EVENTS_HOPPING,
 }
