@@ -40,7 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from .joins import hash_bucket_join
 from .util import h64_bytes_vec, read_json, repeat_ranges, write_json_atomic

@@ -19,7 +19,6 @@ wedge closing) keys are near-uniform hashes already.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 

@@ -148,7 +148,7 @@ def boruvka(graph: Graph, max_rounds: int = 50,
         return pa.table({"src": pa.array(a), "dst": pa.array(b),
                          "ekey": pa.array(a * V + b)})
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     edges = graph.edges_dataset().map_batches(canon, batch_format="pyarrow")
     # exact dedup of canonical pairs: one aggregate shuffle (ekey is a
