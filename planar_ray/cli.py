@@ -45,8 +45,8 @@ def cmd_ingest(args) -> None:
                       "num_edges": g.num_edges, "parts": g.num_parts}))
 
 
-KERNELS = ("pagerank", "pagerank_ref", "wcc", "lpa", "sssp", "coloring",
-           "gnn", "randomwalk", "triangles", "mst")
+KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
+           "lpa", "sssp", "coloring", "gnn", "randomwalk", "triangles", "mst")
 
 
 def cmd_run(args) -> None:
@@ -63,6 +63,11 @@ def cmd_run(args) -> None:
         _state, eng = K.pagerank_reference(g, iters=args.iters or 10)
     elif args.kernel == "wcc":
         _state, eng = K.wcc(g, resume=args.resume, **common)
+    elif args.kernel == "wcc_precomp":
+        _state, eng = K.wcc_precomputed(g)
+    elif args.kernel == "wcc_contract":
+        _state, eng = K.wcc(g, contract_every=args.iters or 3)
+        out["contract_log"] = getattr(eng, "contract_log", [])
     elif args.kernel == "lpa":
         _state, eng = K.lpa(g, max_iters=args.iters or 10, resume=args.resume, **common)
     elif args.kernel == "sssp":
