@@ -153,12 +153,16 @@ def hash_bucket_join(
         casts = {c: d for c, d in int_casts.items() if merged[c].notna().all()}
         if casts:
             merged = merged.astype(casts)
+        # replace_schema_metadata(None): from_pandas attaches a pandas
+        # metadata dict that makes downstream schema hashing fail (log
+        # spam "Failed to hash the schemas" from every consumer)
         try:
-            return pa.Table.from_pandas(merged, schema=out_schema,
-                                        preserve_index=False)
+            out = pa.Table.from_pandas(merged, schema=out_schema,
+                                       preserve_index=False)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             # outer-join NaN columns fall back to inferred (float) types
-            return pa.Table.from_pandas(merged, preserve_index=False)
+            out = pa.Table.from_pandas(merged, preserve_index=False)
+        return out.replace_schema_metadata(None)
 
     # materialize + coalesce the tagged union BEFORE the sort shuffle —
     # the sort's sampling pass re-executes a lazy upstream map, and its
