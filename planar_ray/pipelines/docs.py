@@ -622,6 +622,71 @@ def q_doc_fingerprint(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
 
+TOP_TERMS_K = 20
+
+
+def _token_counts(sf_dir: str) -> "Dataset":
+    """(token, n) global token counts: per-batch combiner (np.unique)
+    then one aggregate shuffle."""
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir, columns=("text",))
+    tok_re = re.compile(TOKEN_RE)
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t["text"].to_pylist():
+            toks.extend(tok_re.findall(s.lower()))
+        if not toks:
+            return pa.schema([("token", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return docs.map_batches(batch_counts, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Sum(on="n", alias_name="n"))
+
+
+def q_doc_vocab(sf_dir: str) -> pa.Table:
+    """Global vocabulary stats: distinct token count + total token count."""
+    counts = _token_counts(sf_dir).materialize()
+    vocab = counts.count()
+    total = counts.sum("n") or 0
+    return pa.table({"vocab_size": pa.array([int(vocab)], pa.int64()),
+                     "total_tokens": pa.array([int(total)], pa.int64())})
+
+
+SQL_DOC_VOCAB = f"""
+WITH toks AS MATERIALIZED (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents)
+SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens
+FROM toks
+"""
+
+
+def q_doc_top_terms(sf_dir: str) -> pa.Table:
+    """Top-{TOP_TERMS_K} most frequent tokens (ties -> token asc)."""
+    counts = _token_counts(sf_dir)
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(
+        TOP_TERMS_K).to_pandas()
+    return pa.table({"token": pa.array(top["token"]),
+                     "n": pa.array(top["n"].astype("int64"))})
+
+
+SQL_DOC_TOP_TERMS = f"""
+WITH toks AS MATERIALIZED (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC LIMIT {TOP_TERMS_K}
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
@@ -631,6 +696,8 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_vocab": q_doc_vocab,
+    "doc_top_terms": q_doc_top_terms,
 }
 
 ORACLES = {
@@ -638,4 +705,6 @@ ORACLES = {
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
+    "doc_vocab": SQL_DOC_VOCAB,
+    "doc_top_terms": SQL_DOC_TOP_TERMS,
 }
