@@ -123,12 +123,6 @@ def hash_bucket_join(
     rt = rt.map_batches(pad(rnames), batch_format="pyarrow")
 
     out_r_cols = [n for n in rnames if n != right_on]
-    # the union carries nulls for the other side's columns, and pandas
-    # silently widens int64-with-NaN to float64 — cast back after merge
-    int_casts = {
-        n: "int64" for n, t in types.items()
-        if pa.types.is_integer(t) and n in set(lnames + out_r_cols)
-    }
 
     out_schema = pa.schema(
         [(n, types[n]) for n in lnames] + [(n, rtypes[n]) for n in out_r_cols]
@@ -148,21 +142,18 @@ def hash_bucket_join(
         # no row-order sort: row order inside a block is not semantic —
         # every consumer either aggregates or sorts on its own keys
         merged = gl.merge(gr, on=left_on, how=how, sort=False)
-        merged = merged[lnames + out_r_cols]
-        # outer joins legitimately produce NaNs in int columns — leave those
-        casts = {c: d for c, d in int_casts.items() if merged[c].notna().all()}
-        if casts:
-            merged = merged.astype(casts)
-        # replace_schema_metadata(None): from_pandas attaches a pandas
-        # metadata dict that makes downstream schema hashing fail (log
-        # spam "Failed to hash the schemas" from every consumer)
-        try:
-            out = pa.Table.from_pandas(merged, schema=out_schema,
-                                       preserve_index=False)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # outer-join NaN columns fall back to inferred (float) types
-            out = pa.Table.from_pandas(merged, preserve_index=False)
-        return out.replace_schema_metadata(None)
+        # per-column Arrow conversion AT THE DECLARED TYPE: an outer join
+        # puts NaN into int columns and pandas widens them to float64 —
+        # ``from_pandas=True`` maps NaN -> null so EVERY bucket emits the
+        # same (nullable int64) schema, instead of some buckets falling
+        # back to inferred float schemas (mixed block schemas downstream).
+        # pa.table() attaches no pandas metadata, so schema hashing works.
+        return pa.table(
+            {n: pa.array(merged[n], type=out_schema.field(n).type,
+                         from_pandas=True)
+             for n in lnames + out_r_cols},
+            schema=out_schema,
+        )
 
     # materialize + coalesce the tagged union BEFORE the sort shuffle —
     # the sort's sampling pass re-executes a lazy upstream map, and its

@@ -185,7 +185,12 @@ def boruvka(graph: Graph, max_rounds: int = 50,
             "dst": (sel["ekey"] % V).astype("int64"),
         }))
         roots = _resolve_roots(choice)
-        roots_ds = rd.from_pandas(roots)
+        # pa.table() from typed columns: from_pandas would attach the
+        # pandas schema-metadata dict that defeats Ray's schema hashing
+        roots_ds = rd.from_arrow(pa.table({
+            "comp": pa.array(roots["comp"].to_numpy().astype(np.int64)),
+            "root": pa.array(roots["root"].to_numpy().astype(np.int64)),
+        }))
         labs = hash_bucket_join(labs, roots_ds, left_on="label", right_on="comp",
                                 how="left")
         labs = labs.map_batches(

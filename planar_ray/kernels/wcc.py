@@ -110,6 +110,8 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
     all_metrics = []
     eng = None
     for phase in range(32):
+        if eng is not None:
+            eng.close()  # one board actor + CSR refs per phase otherwise
         eng = Engine(live, WCCKernel(), **engine_kw)
         state = eng.run(max_supersteps=min(contract_every, max_supersteps))
         all_metrics.extend(eng.metrics)
@@ -149,9 +151,15 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
         root2 = os.path.join(scratch, f"phase_{phase:03d}")
         shutil.rmtree(root2, ignore_errors=True)
         os.makedirs(root2, exist_ok=True)
+        # dedup_in_parts: every original crossing edge yields its own
+        # (label_src, label_dst) row — without the in-partition dedup
+        # (src is the partition key, so the local mask is exact) the
+        # duplicates accumulate across phases and inflate num_edges and
+        # scatter volume (labels stay correct but contraction stops paying)
         live = partition_edges(e, root2, graph.num_vertices,
                                len(boundaries) - 1, "sym",
-                               boundaries=boundaries, symmetrize=False)
+                               boundaries=boundaries, symmetrize=False,
+                               dedup_in_parts=True)
         contract_log.append((phase + 1, live.num_edges))
     # final state in the engine's row shape: (part, v, val=mapped label)
     from ..graph import part_of

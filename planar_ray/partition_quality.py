@@ -19,9 +19,13 @@ This module closes that gap:
   endpoints land in different partitions == the fraction of superstep
   messages that must cross partitions before combining.
 
-Measured (sf0.1 corpus graph, 16 parts — see BASELINE.md): hash-cut is
-the worst; degree-aware ranges and BFS-grown ranges are within a few
-points of each other, evidencing the documented substitution.
+Measured (sf0.1 corpus graph, 16 parts — see BASELINE.md): on
+hash-scrambled ids, degree-aware ranges do NOT match BFS locality —
+ranges ≈ hash ≈ 0.94 cross-partition edge fraction vs 0.42 for
+BFS-grown ranges. The engine default stays ranges because the per-batch
+combiner already bounds hub message volume and BFS needs an offline
+pass; pipelines that can afford that pass should ``bfs_order`` +
+``relabel_graph`` first (measured: WCC in-shuffle messages −2.4x).
 """
 
 from __future__ import annotations

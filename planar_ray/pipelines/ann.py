@@ -48,7 +48,10 @@ CHUNK_ROWS = 8192  # blocked-scan chunk size (bounded object-store slabs)
 def _read_emb(sf_dir: str) -> Dataset:
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..util import strip_schema_meta
+
+    return strip_schema_meta(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -218,14 +221,22 @@ def q_ann_knn_label(sf_dir: str) -> pa.Table:
         cs, ci, cl = [], [], []
         for ref in refs:
             aid, am, lab = ray.get(ref)
-            s = np.round(m @ am.T, 6)
-            s[aid[None, :] == vid[:, None]] = -np.inf  # exclude self
+            # exact per-chunk (sim desc, vec_id asc) top-k: sims are
+            # rounded to 6 digits so k-th-place TIES are common, and
+            # argpartition keeps an arbitrary tied subset — a tied
+            # smaller-id candidate dropped here could never be recovered
+            # by the exact merge below. Sort candidates by id once
+            # (1-D), then a stable row-wise argsort on -sim yields the
+            # exact order; take the first k columns.
+            o_id = np.argsort(aid, kind="stable")
+            aid_s, lab_s = aid[o_id], lab[o_id]
+            s = np.round(m @ am[o_id].T, 6)
+            s[aid_s[None, :] == vid[:, None]] = -np.inf  # exclude self
             k = min(TOP_K, s.shape[1])
-            # per-chunk top-k combiner (argpartition then exact ordering later)
-            part = np.argpartition(-s, k - 1, axis=1)[:, :k]
-            cs.append(np.take_along_axis(s, part, axis=1))
-            ci.append(aid[part])
-            cl.append(lab[part])
+            order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+            cs.append(np.take_along_axis(s, order, axis=1))
+            ci.append(aid_s[order])
+            cl.append(lab_s[order])
         S = np.concatenate(cs, axis=1)
         I = np.concatenate(ci, axis=1)
         L = np.concatenate(cl, axis=1)

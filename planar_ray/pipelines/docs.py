@@ -70,8 +70,11 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
 
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    from ..util import strip_schema_meta
+
+    return strip_schema_meta(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=list(columns)))
 
 
 # ---------------------------------------------------------------------------
@@ -79,14 +82,26 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
 # ---------------------------------------------------------------------------
 
 def q_doc_exact_dedup(sf_dir: str) -> pa.Table:
-    """Exact dedup: one row per distinct text, keeper = min doc_id."""
+    """Exact dedup: one row per distinct text, keeper = min doc_id.
+
+    The dedup key is two independent vectorised 64-bit siphashes plus the
+    byte length (≈128-bit composite — collision odds negligible at any
+    corpus size), not a cryptographic hash: sha256 has no vectorised
+    kernel and was the last per-row Python hash loop in the suite. The
+    SQL oracle groups by text itself, so it is key-agnostic."""
     docs = _read_docs(sf_dir)
 
-    def add_sha(t: pa.Table) -> pa.Table:
-        shas = [hashlib.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "sha": pa.array(shas)})
+    def add_key(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        h1 = h64_bytes_vec(texts, "dedup1").astype(np.int64)
+        h2 = h64_bytes_vec(texts, "dedup2").astype(np.int64)
+        ln = pc.binary_length(t["text"]).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "h1": pa.array(h1),
+                         "h2": pa.array(h2), "ln": ln})
 
-    grouped = docs.map_batches(add_sha, batch_format="pyarrow").groupby("sha").aggregate(
+    grouped = docs.map_batches(add_key, batch_format="pyarrow").groupby(
+        ["h1", "h2", "ln"]
+    ).aggregate(
         Min(on="doc_id", alias_name="doc_id"), Count(alias_name="dups")
     )
     tab = grouped.to_pandas()

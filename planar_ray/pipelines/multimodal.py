@@ -70,8 +70,11 @@ class FeatureExtractor:
 def payloads_from_docs(sf_dir: str) -> Dataset:
     import ray.data as rd
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    from ..util import strip_schema_meta
+
+    docs = strip_schema_meta(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
 
     def to_binary(t: pa.Table) -> pa.Table:
         return pa.table(

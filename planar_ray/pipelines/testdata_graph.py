@@ -59,7 +59,10 @@ def _cache_root(sf_dir: str) -> str:
 def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from ..util import strip_schema_meta
+
+    return strip_schema_meta(
+        rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns))
 
 
 # ---------------------------------------------------------------------------
@@ -568,7 +571,10 @@ def q_g2_mst(sf_dir: str) -> pa.Table:
     _labels, fedges = boruvka(g)
     import ray.data as rd
 
-    fe = rd.from_pandas(fedges)
+    fe = rd.from_arrow(pa.table({
+        "src": pa.array(fedges["src"].to_numpy().astype(np.int64)),
+        "dst": pa.array(fedges["dst"].to_numpy().astype(np.int64)),
+    }))  # typed arrow, no pandas schema metadata
     fe = _attach_key(fe, iddict, "src", "skey")
     fe = _attach_key(fe, iddict, "dst", "dkey")
     tab = fe.to_pandas().sort_values(["skey", "dkey"])

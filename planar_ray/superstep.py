@@ -294,7 +294,17 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
 class _StatsBoard:
     """num_cpus=0 actor collecting per-partition convergence stats pushed
     from INSIDE the apply stage — replaces the per-superstep aggregate
-    job (a whole second pipeline execution) with P tiny actor RPCs."""
+    job (a whole second pipeline execution) with P tiny actor RPCs.
+
+    Pushes are FIRE-AND-FORGET: a blocking ``ray.get`` on the push inside
+    every apply task holds a worker CPU slot for an actor round-trip, and
+    under driver-node contention (the bench suite, a busy cluster) those
+    round-trips inflate and serialise the apply tail — measured as the
+    round-2 2.1x PageRank driver-bench regression. The driver instead
+    POLLS ``peek`` until all P partitions have reported (the materialize
+    barrier guarantees every push was *sent* before its task finished;
+    delivery needs only the worker process to stay alive, which Ray's
+    worker reuse gives; a lost push falls back to one aggregate job)."""
 
     def __init__(self):
         self._data: dict = {}
@@ -302,11 +312,12 @@ class _StatsBoard:
     def push(self, superstep: int, part: int, stats: dict) -> None:
         self._data[(superstep, part)] = stats
 
-    def collect(self, superstep: int) -> list[dict]:
-        out = [v for (s, _p), v in self._data.items() if s == superstep]
-        # drop anything older — keys only ever grow otherwise
-        self._data = {k: v for k, v in self._data.items() if k[0] >= superstep}
-        return out
+    def peek(self, superstep: int) -> list[dict]:
+        return [v for (s, _p), v in self._data.items() if s == superstep]
+
+    def gc(self, superstep: int) -> None:
+        """Drop entries at or below ``superstep`` (already merged)."""
+        self._data = {k: v for k, v in self._data.items() if k[0] > superstep}
 
 
 def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict,
@@ -314,8 +325,6 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
     def apply_group(t: pa.Table) -> pa.Table:
-        import ray
-
         kernel = _kernel_from_ref(run_id, kernel_ref)
         part = int(t["part"][0].as_py())
         begin, end = int(boundaries[part]), int(boundaries[part + 1])
@@ -341,10 +350,11 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
         new = kernel.apply(begin, end, state, msgs, local_ctx)
         v_new = new.pop("v")
         if stats_board is not None:
-            # ray.get so the push is PROCESSED before this task completes
-            # (and therefore before the driver's collect after materialize)
-            ray.get(stats_board.push.remote(
-                ctx["superstep"], part, kernel.local_stats(new)))
+            # fire-and-forget: the driver polls peek() until P partitions
+            # reported (see _StatsBoard docstring — a blocking ray.get
+            # here stalls a worker slot per group under contention)
+            stats_board.push.remote(ctx["superstep"], part,
+                                    kernel.local_stats(new))
         return kernel.rows(np.full(len(v_new), part, np.int64), v_new,
                            ROLE_STATE, new)
 
@@ -356,8 +366,6 @@ def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list,
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
     def init_fn(batch: pa.Table) -> pa.Table:
-        import ray
-
         kernel = _kernel_from_ref(run_id, kernel_ref)
         outs = []
         for p in batch["id"].to_numpy():
@@ -367,7 +375,7 @@ def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list,
             cols = kernel.init_cols(p, begin, end, csr)
             v = cols.pop("v", np.arange(begin, end, dtype=np.int64))
             if stats_board is not None:
-                ray.get(stats_board.push.remote(-1, p, kernel.local_stats(cols)))
+                stats_board.push.remote(-1, p, kernel.local_stats(cols))
             outs.append(kernel.rows(np.full(len(v), p, np.int64), v,
                                     ROLE_STATE, cols))
         return pa.concat_tables(outs) if outs else kernel.empty_table()
@@ -437,6 +445,7 @@ class Engine:
         # process), replacing the per-superstep actor pools that cost ~1 s
         # of spin-up each (see module docstring).
         self._kernel_ref = ray.put(kernel)
+        self._owner_pid = os.getpid()
         self._stats_board = ray.remote(num_cpus=0)(_StatsBoard).remote()
         load = ray.remote(num_returns=1)(_load_csr_arrays)
         self._csr_refs = {
@@ -444,6 +453,64 @@ class Engine:
                            boundaries[p], boundaries[p + 1])
             for p in range(len(boundaries) - 1)
         }
+
+    def close(self) -> None:
+        """Release engine resources: kill the stats-board actor and drop
+        the pinned kernel/CSR refs. Engines are cheap but a multi-phase
+        driver (contracting WCC, Borůvka) builds one per phase — without
+        this the idle actors accumulate for the driver's lifetime.
+        Materialized state datasets stay valid (they are lineage-free).
+
+        Only the CREATOR process may kill the board: a kernel closure that
+        references the engine (e.g. ``eng.kernel.rows``) gets the whole
+        Engine pickled into worker tasks, and the deserialized copy's
+        ``__del__`` must not kill the live actor out from under the run."""
+        board = getattr(self, "_stats_board", None)
+        if board is not None:
+            self._stats_board = None
+            if getattr(self, "_owner_pid", None) == os.getpid():
+                try:
+                    import ray
+
+                    ray.kill(board)
+                except Exception:
+                    pass  # ray already shut down / actor gone
+        self._csr_refs = {}
+        self._kernel_ref = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _merge_board_stats(self, superstep: int, state: Dataset | None) -> dict:
+        """Poll the stats board until every partition reported (pushes are
+        fire-and-forget; the materialize barrier already passed, so they
+        are in flight). A push lost to a worker crash falls back to one
+        aggregate job over the materialized state."""
+        import ray
+
+        expected = len(self._apply_boundaries) - 1
+        deadline = time.monotonic() + 30.0
+        while True:
+            parts = ray.get(self._stats_board.peek.remote(superstep))
+            if len(parts) >= expected:
+                break
+            if time.monotonic() > deadline:
+                if state is not None:
+                    row = state.aggregate(*self.kernel.stat_aggs())
+                    return {k: (0 if v is None else v) for k, v in row.items()}
+                break
+            time.sleep(0.002)
+        self._stats_board.gc.remote(superstep)
+        return Kernel.merge_stats(parts, self.kernel.stats_spec)
 
     # -- state lifecycle ----------------------------------------------------
     def init_state(self, state: Dataset | None = None) -> Dataset:
@@ -471,8 +538,7 @@ class Engine:
             state = state.materialize()
             # seed the global scalars (e.g. PageRank's dangling mass): the
             # init tasks pushed per-partition stats as superstep -1
-            parts_stats = ray.get(self._stats_board.collect.remote(-1))
-            self.globals = Kernel.merge_stats(parts_stats, self.kernel.stats_spec)
+            self.globals = self._merge_board_stats(-1, state)
         else:
             state = state.materialize()
             # adopted initial state (precomputing path): one aggregate job
@@ -519,13 +585,10 @@ class Engine:
 
         new = rd.from_arrow_refs(new.to_arrow_refs())
         if with_stats:
-            import ray
-
-            # the apply stage already pushed per-partition stats (the
-            # materialize barrier guarantees every push was processed) —
-            # merging P dicts replaces a second pipeline execution
-            parts_stats = ray.get(self._stats_board.collect.remote(superstep))
-            stats = Kernel.merge_stats(parts_stats, k.stats_spec)
+            # the apply stage pushed per-partition stats fire-and-forget
+            # (the materialize barrier guarantees every push was SENT) —
+            # poll + merge P dicts instead of a second pipeline execution
+            stats = self._merge_board_stats(superstep, new)
             self.globals = stats
         else:
             stats = dict(self.globals)

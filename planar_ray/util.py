@@ -80,6 +80,22 @@ def sha256_vec(column: Iterable[str | bytes]) -> list[str]:
     return out
 
 
+def strip_schema_meta(ds):
+    """Drop schema-level metadata right after a Dataset ingress.
+
+    Parquet written by pandas (the driver's testdata tables) and
+    ``rd.from_pandas`` blocks carry a ``b'pandas'`` schema-metadata dict;
+    Ray's shuffle tasks try to hash block schemas for deduplication and
+    log ``Failed to hash the schemas ... unhashable type: 'dict'`` on
+    every reduce task. ``replace_schema_metadata(None)`` is zero-copy and
+    the map fuses with the next stage.
+    """
+    import pyarrow as pa
+
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 def write_json_atomic(path: str, obj: Any) -> None:
     """Write JSON via temp-file + rename so readers never see partial files."""
     tmp = path + ".tmp"
