@@ -123,7 +123,8 @@ BROADCAST_V_MAX = 50_000_000  # dense label array broadcast cap (400 MB)
 
 
 def boruvka(graph: Graph, max_rounds: int = 50,
-            broadcast_threshold: int = BROADCAST_V_MAX):
+            broadcast_threshold: int = BROADCAST_V_MAX,
+            run_dir: str | None = None, resume: bool = False):
     """Returns (labels DataFrame (v, label), forest edge list DataFrame).
 
     Two physical plans with identical results:
@@ -136,9 +137,16 @@ def boruvka(graph: Graph, max_rounds: int = 50,
       the two label joins (_crossing) + the min-choice shuffle; the only
       driver-side table is the per-component choice (shrinks
       geometrically), as before.
+
+    ``run_dir`` checkpoints every completed round (labels + live edges +
+    forest so far, checkpoint.PhaseLog); ``resume=True`` continues after
+    the last complete round.
     """
     import ray.data as rd
 
+    from ..checkpoint import PhaseLog
+
+    plog = PhaseLog(run_dir) if run_dir else None
     V = graph.num_vertices
 
     def canon(t: pa.Table) -> pa.Table:
@@ -159,7 +167,8 @@ def boruvka(graph: Graph, max_rounds: int = 50,
     ).select_columns(["src", "dst", "ekey"]).materialize()
 
     if V <= broadcast_threshold:
-        return _boruvka_broadcast(edges, V, max_rounds)
+        return _boruvka_broadcast(edges, V, max_rounds, plog=plog,
+                                  resume=resume)
 
     labs = rd.range(V).map_batches(
         lambda t: pa.table({"v": t["id"].combine_chunks().cast(pa.int64()),
@@ -168,9 +177,23 @@ def boruvka(graph: Graph, max_rounds: int = 50,
     ).materialize()
 
     forest: list[pd.DataFrame] = []
-    for _ in range(max_rounds):
+    start_round, done = 0, False
+    if resume and plog is not None and plog.latest() is not None:
+        rdone, meta = plog.latest()
+        labs = plog.load(rdone, "labels").materialize()
+        edges = plog.load(rdone, "edges").materialize()
+        f = plog.load(rdone, "forest").to_pandas()
+        if len(f):
+            forest.append(f)
+        start_round, done = rdone + 1, bool(meta.get("done"))
+    for rnd in range(start_round, max_rounds):
+        if done:
+            break
         crossing = _crossing(edges, labs).materialize()
         if crossing.count() == 0:
+            if plog is not None:
+                plog.complete(rnd, _boruvka_ckpt(labs, edges, forest),
+                              {"done": True})
             break
         # CONTRACT (reference wcc/mst Contract, mutable_block_csr_graph.h:
         # 168-263): edges inside a merged component can never cross again,
@@ -204,6 +227,9 @@ def boruvka(graph: Graph, max_rounds: int = 50,
             }),
             batch_format="pyarrow",
         ).materialize()
+        if plog is not None:
+            plog.complete(rnd, _boruvka_ckpt(labs, edges, forest),
+                          {"done": False})
 
     labels = labs.to_pandas().sort_values("v").reset_index(drop=True)
     fedges = (
@@ -214,14 +240,45 @@ def boruvka(graph: Graph, max_rounds: int = 50,
     return labels, fedges
 
 
-def _boruvka_broadcast(edges: "Dataset", V: int, max_rounds: int):
+def _label_table(label: np.ndarray) -> pa.Table:
+    return pa.table({"v": pa.array(np.arange(len(label), dtype=np.int64)),
+                     "label": pa.array(label.astype(np.int64))})
+
+
+def _boruvka_ckpt(labs, edges, forest: list) -> dict:
+    """PhaseLog payload for one completed Borůvka round."""
+    if forest:
+        f = pd.concat(forest)[["src", "dst"]].astype("int64")
+        ftab = pa.table({"src": pa.array(f["src"].to_numpy()),
+                         "dst": pa.array(f["dst"].to_numpy())})
+    else:
+        ftab = pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    return {"labels": labs, "edges": edges, "forest": ftab}
+
+
+def _boruvka_broadcast(edges: "Dataset", V: int, max_rounds: int,
+                       plog=None, resume: bool = False):
     """Broadcast-label Borůvka (see boruvka): same rounds, same choices,
     same forest — the label table is a dense array updated driver-side."""
     import ray
 
     label = np.arange(V, dtype=np.int64)
     forest: list[pd.DataFrame] = []
-    for _ in range(max_rounds):
+    start_round, done = 0, False
+    if resume and plog is not None and plog.latest() is not None:
+        rdone, meta = plog.latest()
+        lt = plog.load(rdone, "labels").to_pandas()
+        label[lt["v"].to_numpy(dtype=np.int64)] = lt["label"].to_numpy(
+            dtype=np.int64)
+        edges = plog.load(rdone, "edges").materialize()
+        f = plog.load(rdone, "forest").to_pandas()
+        if len(f):
+            forest.append(f)
+        start_round, done = rdone + 1, bool(meta.get("done"))
+    for rnd in range(start_round, max_rounds):
+        if done:
+            break
         ref = ray.put(label)
 
         def crossing_fn(t: pa.Table) -> pa.Table:
@@ -239,6 +296,9 @@ def _boruvka_broadcast(edges: "Dataset", V: int, max_rounds: int):
         crossing = edges.map_batches(crossing_fn,
                                      batch_format="pyarrow").materialize()
         if crossing.count() == 0:
+            if plog is not None:
+                plog.complete(rnd, _boruvka_ckpt(_label_table(label), edges,
+                                                 forest), {"done": True})
             break
         edges = crossing.select_columns(["src", "dst", "ekey"])  # contract
         # per-batch combiner then a DRIVER-side final pick: the combined
@@ -275,6 +335,9 @@ def _boruvka_broadcast(edges: "Dataset", V: int, max_rounds: int):
         pos = np.minimum(pos, max(len(comp) - 1, 0))
         hit = (len(comp) > 0) & (comp[np.minimum(pos, len(comp) - 1)] == label)
         label = np.where(hit, root[np.minimum(pos, len(comp) - 1)], label)
+        if plog is not None:
+            plog.complete(rnd, _boruvka_ckpt(_label_table(label), edges,
+                                             forest), {"done": False})
 
     labels = pd.DataFrame({"v": np.arange(V, dtype=np.int64), "label": label})
     fedges = (

@@ -82,11 +82,13 @@ def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
                      checkpoint_every=checkpoint_every, **engine_kw)
         state = eng.run(max_supersteps=max_supersteps, resume=resume)
         return state, eng
-    return _wcc_contracting(graph, max_supersteps, contract_every, **engine_kw)
+    return _wcc_contracting(graph, max_supersteps, contract_every,
+                            run_dir=run_dir, resume=resume, **engine_kw)
 
 
 def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
-                     **engine_kw):
+                     run_dir: str | None = None, resume: bool = False,
+                     max_phases: int = 32, **engine_kw):
     """Supervertex contraction (Borůvka-style): run ``contract_every``
     propagation supersteps, then RELABEL every crossing edge by its
     endpoints' current labels — edges inside a label group vanish, the
@@ -94,10 +96,18 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
     contracted graph. The per-phase label mapping composes into the
     final answer with one join per phase. (Dropping only intra-label
     edges while keeping original ids is NOT sound: a dropped edge can
-    still need to carry a later, smaller label.)"""
+    still need to carry a later, smaller label.)
+
+    ``run_dir`` enables per-phase checkpointing (checkpoint.PhaseLog):
+    the composed mapping and the live-graph root are persisted after
+    every phase, so ``resume=True`` picks up after the last COMPLETE
+    phase instead of restarting (the contracted edge sets are already
+    on disk under ``<graph.root>/_contract``). ``max_phases`` exists for
+    the kill-after-phase-k test."""
     import os
     import shutil
 
+    from ..checkpoint import PhaseLog
     from ..graph import partition_edges
     from ..joins import hash_bucket_join
 
@@ -109,7 +119,20 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
     contract_log = [(0, sym.num_edges)]
     all_metrics = []
     eng = None
-    for phase in range(32):
+    plog = PhaseLog(run_dir) if run_dir else None
+    start_phase, resumed_done = 0, False
+    if resume and plog is not None:
+        found = plog.latest()
+        if found is not None:
+            pdone, meta = found
+            mapping = plog.load(pdone, "mapping").materialize()
+            live = Graph.load(meta["live_root"], meta["live_direction"])
+            contract_log = [tuple(x) for x in meta["contract_log"]]
+            start_phase = pdone + 1
+            resumed_done = bool(meta.get("converged"))
+    for phase in range(start_phase, max_phases):
+        if resumed_done:
+            break
         if eng is not None:
             eng.close()  # one board actor + CSR refs per phase otherwise
         eng = Engine(live, WCCKernel(), **engine_kw)
@@ -133,6 +156,12 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
             ).materialize()
         converged = int(eng.globals.get("changed") or 0) == 0
         if converged or live.num_edges == 0:
+            if plog is not None:
+                plog.complete(phase, {"mapping": mapping}, {
+                    "live_root": live.root, "live_direction": live.direction,
+                    "contract_log": [list(x) for x in contract_log],
+                    "converged": True,
+                })
             break
         # contract: crossing edges relabelled to their endpoint labels
         e = hash_bucket_join(live.edges_dataset(), labels,
@@ -161,19 +190,32 @@ def _wcc_contracting(graph: Graph, max_supersteps: int, contract_every: int,
                                boundaries=boundaries, symmetrize=False,
                                dedup_in_parts=True)
         contract_log.append((phase + 1, live.num_edges))
-    # final state in the engine's row shape: (part, v, val=mapped label)
+        if plog is not None:
+            plog.complete(phase, {"mapping": mapping}, {
+                "live_root": live.root, "live_direction": live.direction,
+                "contract_log": [list(x) for x in contract_log],
+                "converged": False,
+            })
+    # final state in the engine's row shape: (part, v, val=mapped label).
+    # A standalone kernel instance, NOT eng.kernel: eng is None on a
+    # resume that found the converged phase, and referencing the engine
+    # in this closure would pickle it into the worker tasks.
     from ..graph import part_of
+
+    kern = WCCKernel()
 
     def to_state(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(v)
-        return eng.kernel.rows(part_of(v, boundaries), v, 0, {
+        return kern.rows(part_of(v, boundaries), v, 0, {
             "val": m, "active": np.zeros(n, np.int8),
             "changed": np.zeros(n, np.int64), "in_msgs": np.zeros(n, np.int64),
         })
 
     final = mapping.map_batches(to_state, batch_format="pyarrow")
+    if eng is None:
+        eng = Engine(live, kern, **engine_kw)  # resume hit the converged phase
     eng.metrics = all_metrics
     eng.contract_log = contract_log
     return final, eng

@@ -43,6 +43,14 @@ TOP_K = 10
 NEARDUP_TAU = 0.4
 LSH_BITS = 8
 CHUNK_ROWS = 8192  # blocked-scan chunk size (bounded object-store slabs)
+# dual-plan gate (the triangle_count pattern): at or below this row count
+# the EXACT blocked-scan plans run (they are the correctness oracle and
+# O(N^2) — fine at sf scale); beyond it neardup/knn route through the
+# multi-table LSH bucket stages below, which shuffle each vector R times
+# and brute-force only within buckets. test_round2-style plan-equality
+# pytest covers a threshold-crossing margin-constructed set.
+EXACT_SCAN_MAX_ROWS = 50_000
+LSH_TABLES = 4  # independent hyperplane tables (recall booster)
 
 
 def _read_emb(sf_dir: str) -> Dataset:
@@ -160,10 +168,21 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_ann_neardup(sf_dir: str) -> pa.Table:
-    """Exact near-duplicate pairs via a blocked chunk scan (no driver
-    matrix, no per-row Python loop — 2-D mask -> nonzero)."""
+def q_ann_neardup(sf_dir: str, plan: str | None = None) -> pa.Table:
+    """Near-duplicate pairs above NEARDUP_TAU.
+
+    Dual plan (gated on row count, ``plan`` forces one for tests): the
+    EXACT blocked chunk scan below — O(N²) work, every batch scans all
+    chunks — is the small-scale/oracle mode; beyond EXACT_SCAN_MAX_ROWS
+    the LSH-bucketed plan (_neardup_lsh) is the default, turning the
+    cross product into per-bucket brute force."""
     import ray
+
+    if plan is None:
+        plan = ("exact" if _read_emb(sf_dir).count() <= EXACT_SCAN_MAX_ROWS
+                else "lsh")
+    if plan == "lsh":
+        return _neardup_lsh(sf_dir)
 
     refs = _chunk_refs(sf_dir)
 
@@ -206,12 +225,18 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-def q_ann_knn_label(sf_dir: str) -> pa.Table:
-    """Exact 10-NN majority label: blocked chunk scan with a per-chunk
-    top-k combiner, then a fully vectorised merge + vote (argsort twice
-    = lexsort by (-sim, id); bincount matrix = majority with min-label
-    tie-break)."""
+def q_ann_knn_label(sf_dir: str, plan: str | None = None) -> pa.Table:
+    """10-NN majority label. Dual plan like q_ann_neardup: the exact
+    blocked chunk scan (per-chunk top-k combiner, fully vectorised merge
+    + vote) under the gate; the LSH candidate plan (_knn_label_lsh)
+    beyond it."""
     import ray
+
+    if plan is None:
+        plan = ("exact" if _read_emb(sf_dir).count() <= EXACT_SCAN_MAX_ROWS
+                else "lsh")
+    if plan == "lsh":
+        return _knn_label_lsh(sf_dir)
 
     refs = _chunk_refs(sf_dir)
 
@@ -275,9 +300,121 @@ FROM winner WHERE rn = 1
 """
 
 
-def _lsh_planes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(23)
+def _lsh_planes(dim: int, table: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(23 + 1000 * table)
     return rng.standard_normal((dim, LSH_BITS))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale plans for neardup / knn (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+def _tag_tables(sf_dir: str, with_label: bool):
+    """Every vector tagged with its bucket in each of LSH_TABLES
+    independent hyperplane tables: one row per (table, vector). The
+    shuffle that follows groups by the combined (table, bucket) key, so
+    each brute-force group holds one bucket of one table."""
+    first = next(iter(
+        _read_emb(sf_dir).limit(1).iter_batches(batch_format="pyarrow")))
+    dim = len(first["embedding"][0])
+    planes = [_lsh_planes(dim, t) for t in range(LSH_TABLES)]
+
+    def tag(t: pa.Table) -> pa.Table:
+        vid, m = _norm_rows(t)
+        outs = []
+        emb = t["embedding"].combine_chunks()
+        lab = (t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+               if with_label else None)
+        for ti, pl in enumerate(planes):
+            b = _bucket_of(m, pl)
+            cols = {
+                "gkey": pa.array(ti * (1 << LSH_BITS) + b, pa.int64()),
+                "vec_id": pa.array(vid, pa.int64()),
+                "embedding": emb,
+            }
+            if lab is not None:
+                cols["label"] = pa.array(lab, pa.int64())
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return _read_emb(sf_dir).map_batches(tag, batch_format="pyarrow")
+
+
+def _neardup_lsh(sf_dir: str) -> pa.Table:
+    """Near-dup pairs via per-bucket brute force in LSH_TABLES tables,
+    deduped across tables with one (vec_a, vec_b) groupby. Work is
+    Σ bucket² per table instead of N²; a pathologically hot bucket
+    (everything near-identical) degrades toward all-pairs — the
+    documented LSH limit, mitigated by raising LSH_BITS at scale."""
+    from ray.data.aggregate import Min
+
+    tagged = _tag_tables(sf_dir, with_label=False)
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        vid, m = _norm_rows(t)
+        s = np.round(m @ m.T, 6)
+        mask = (s >= NEARDUP_TAU) & (vid[None, :] > vid[:, None])
+        i, j = np.nonzero(mask)
+        return pa.table({
+            "vec_a": pa.array(vid[i], pa.int64()),
+            "vec_b": pa.array(vid[j], pa.int64()),
+            "sim": pa.array(s[i, j], pa.float64()),
+        })
+
+    pairs = tagged.groupby("gkey").map_groups(pairs_in_bucket,
+                                              batch_format="pyarrow")
+    # a pair found in k tables appears k times with identical sim
+    out = pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min(on="sim", alias_name="sim")
+    ).to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["vec_a", "vec_b", "sim"]],
+                                preserve_index=False)
+
+
+def _knn_label_lsh(sf_dir: str) -> pa.Table:
+    """kNN-vote via LSH candidates: per-bucket exact top-k partials, then
+    a per-vector merge that dedups candidates across tables, re-ranks
+    with the exact (sim desc, id asc) order and votes (max count, ties
+    -> smaller label). A vector sees only same-bucket candidates — the
+    approximation the gate documents."""
+    tagged = _tag_tables(sf_dir, with_label=True)
+
+    def topk_in_bucket(t: pa.Table) -> pa.Table:
+        vid, m = _norm_rows(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_id = np.argsort(vid, kind="stable")
+        vid_s, lab_s = vid[o_id], lab[o_id]
+        s = np.round(m @ m[o_id].T, 6)
+        s[vid_s[None, :] == vid[:, None]] = -np.inf  # exclude self
+        k = min(TOP_K, s.shape[1])
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        sim = np.take_along_axis(s, order, axis=1).ravel()
+        keep = np.isfinite(sim)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, k)[keep], pa.int64()),
+            "cand": pa.array(vid_s[order].ravel()[keep], pa.int64()),
+            "clab": pa.array(lab_s[order].ravel()[keep], pa.int64()),
+            "sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    partial = tagged.groupby("gkey").map_groups(topk_in_bucket,
+                                                batch_format="pyarrow")
+
+    def vote_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("cand").sort_values(
+            ["sim", "cand"], ascending=[False, True]).head(TOP_K)
+        counts = g.groupby("clab").size().sort_index()
+        pred = int(counts.index[np.argmax(counts.to_numpy())])
+        return pd.DataFrame({"vec_id": [int(g["vec_id"].iloc[0])],
+                             "pred_label": [pred]})
+
+    out = partial.groupby("vec_id").map_groups(
+        vote_group, batch_format="pandas").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("vec_id").reset_index(drop=True).astype(
+            {"vec_id": "int64", "pred_label": "int64"}),
+        preserve_index=False)
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -505,7 +505,8 @@ def pair_jaccards(sf_dir: str, cand: "Dataset") -> "Dataset":
     return j.map_batches(jac, batch_format="pyarrow")
 
 
-def q_doc_minhash_dedup(sf_dir: str) -> pa.Table:
+def q_doc_minhash_dedup(sf_dir: str, run_dir: str | None = None,
+                        resume: bool = False) -> pa.Table:
     """Near-dup groups: LSH candidates -> exact-Jaccard verify -> union-find.
 
     Candidates AND verification are distributed; only the union-find over
@@ -513,13 +514,41 @@ def q_doc_minhash_dedup(sf_dir: str) -> pa.Table:
     at corpus scale the same pairs feed the WCC kernel instead. The final
     group assignment broadcasts the tiny rep map and labels documents in
     a map_batches pass — no driver materialisation of the doc table.
+
+    ``run_dir`` checkpoints the two expensive phases (candidate pairs,
+    verified pairs — checkpoint.PhaseLog); ``resume=True`` skips any
+    phase whose manifest exists, so a kill mid-verify restarts at verify
+    instead of re-shingling the corpus.
     """
     import ray
 
-    cand = lsh_candidate_pairs(sf_dir)
-    verified = pair_jaccards(sf_dir, cand).filter(
-        expr=f"jaccard >= {JACCARD_TAU}"
-    ).to_pandas()  # verified near-dup pairs only: tiny by construction
+    from ..checkpoint import PhaseLog
+
+    plog = PhaseLog(run_dir) if run_dir else None
+    cand = verified = None
+    if resume and plog is not None:
+        found = plog.latest()
+        if found is not None:
+            pdone, _meta = found
+            if pdone >= 1:
+                verified = plog.load(1, "verified").to_pandas()
+            else:
+                cand = plog.load(0, "candidates").materialize()
+    if verified is None:
+        if cand is None:
+            cand = lsh_candidate_pairs(sf_dir)
+            if plog is not None:
+                cand = cand.materialize()
+                plog.complete(0, {"candidates": cand}, {"stage": "candidates"})
+        verified = pair_jaccards(sf_dir, cand).filter(
+            expr=f"jaccard >= {JACCARD_TAU}"
+        ).to_pandas()  # verified near-dup pairs only: tiny by construction
+        if plog is not None:
+            plog.complete(1, {"verified": pa.table({
+                "doc_a": pa.array(verified["doc_a"].to_numpy().astype(np.int64)),
+                "doc_b": pa.array(verified["doc_b"].to_numpy().astype(np.int64)),
+                "jaccard": pa.array(verified["jaccard"].to_numpy().astype(np.float64)),
+            })}, {"stage": "verified"})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -472,7 +472,8 @@ class Engine:
                 try:
                     import ray
 
-                    ray.kill(board)
+                    if ray.is_initialized():
+                        ray.kill(board)
                 except Exception:
                     pass  # ray already shut down / actor gone
         self._csr_refs = {}
@@ -485,10 +486,14 @@ class Engine:
         self.close()
 
     def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
+        # NO ray.kill here: __del__ can run during interpreter/Ray
+        # teardown, where a kill on a released handle trips a C++ CHECK
+        # (core_worker actor_manager) and aborts the whole process.
+        # Explicit close() is the cleanup path; a GC'd engine just drops
+        # its refs and leaves one idle num_cpus=0 actor to session end.
+        self._stats_board = None
+        self._csr_refs = {}
+        self._kernel_ref = None
 
     def _merge_board_stats(self, superstep: int, state: Dataset | None) -> dict:
         """Poll the stats board until every partition reported (pushes are
