@@ -28,7 +28,8 @@ def entry() -> Any:
     from planar_ray import corpus, graph as G, ingest
     from planar_ray.kernels import pagerank
 
-    root = "/tmp/planar_ray_cache/entry_flagship"
+    # per-process dir: two concurrent drivers must not collide
+    root = f"/tmp/planar_ray_cache/entry_flagship_{os.getpid()}"
     ds = corpus.corpus_dataset(corpus.TINY)
     files = ingest.extract_files(ds, concurrency=4)
     edges = ingest.build_edges(files, num_partitions=4)

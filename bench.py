@@ -176,16 +176,23 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
     else:
         edges = zipf_edges(num_vertices=num_edges // 8, num_edges=num_edges)
         g = G.graph_from_id_edges(edges, root, num_parts=32, dedup=False)
+    import ray
+
+    def barrier(e):  # wait for the pipelined supersteps without fetching
+        ray.wait(list(e._state_refs), num_returns=len(e._state_refs),
+                 fetch_local=False)
+
     eng = Engine(g, PageRankKernel(fixed_iters=10_000), stats_every=100)
-    state = eng.init_state()
+    eng.init_state_direct()
     for s in range(2):  # warm: CSR into plasma + worker caches
-        state, _ = eng.step(state, s, with_stats=False)
+        eng.step_direct(s, with_stats=False)
+    barrier(eng)
     n_steps = 10
     t0 = time.monotonic()
     for s in range(2, 2 + n_steps):
-        state, _ = eng.step(state, s, with_stats=False)
+        eng.step_direct(s, with_stats=False)
+    barrier(eng)
     dt = time.monotonic() - t0
-    import ray
 
     ray.shutdown()
     print(json.dumps({

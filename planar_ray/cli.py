@@ -97,6 +97,27 @@ def cmd_run(args) -> None:
     print(json.dumps(out, default=float))
 
 
+def cmd_check(args) -> None:
+    """planar_check parity (reference planar/planar_check.cpp): validate
+    a graph root's manifests + per-partition payloads; exit 1 on errors."""
+    from .inspect_tools import check_graph
+
+    rep = check_graph(args.root, args.direction)
+    if args.verbose:
+        print(json.dumps(rep, indent=1))
+    else:
+        slim = {d: {"num_vertices": v["num_vertices"],
+                    "num_edges": v["num_edges"],
+                    "num_parts": v["num_parts"],
+                    "max_degree": max((p["max_degree"] for p in v["parts"]),
+                                      default=0)}
+                for d, v in rep["directions"].items()}
+        print(json.dumps({"root": rep["root"], "ok": rep["ok"],
+                          "directions": slim, "errors": rep["errors"]}))
+    if not rep["ok"]:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="planar_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -119,6 +140,12 @@ def main(argv=None) -> None:
 
     pk = sub.add_parser("kernels", help="list kernels")
     pk.set_defaults(fn=lambda a: print("\n".join(KERNELS)))
+
+    pc = sub.add_parser("check", help="validate on-disk graph partitions")
+    pc.add_argument("root")
+    pc.add_argument("--direction", default=None)
+    pc.add_argument("--verbose", action="store_true")
+    pc.set_defaults(fn=cmd_check)
 
     args = p.parse_args(argv)
     args.fn(args)

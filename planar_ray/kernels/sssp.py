@@ -70,6 +70,59 @@ class SSSPKernel(Kernel):
         return superstep > 0 and int(stats.get("changed") or 0) == 0
 
 
+class AspSSSPKernel(SSSPKernel):
+    """ASP SSSP — the reference's sssp_asp_app
+    (/root/reference/core/apps/sssp_asp_app.cpp): distances relax through
+    mid-round writes. BSP analogue with identical fixpoint: local
+    Bellman-Ford to fixpoint over the partition's intra-partition edges
+    (ctx["csr"]) after the inbound merge — relaxation is monotone, so
+    converged distances are identical and supersteps shrink to the
+    cross-partition hop count."""
+
+    name = "sssp_asp"
+    wants_csr = True
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        best = np.full(n, INF, dtype=np.int64)
+        if len(msgs["v"]):
+            np.minimum.at(best, msgs["v"] - begin, msgs["val"])
+        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        v = state["v"]
+        old = state["val"]
+        dist = np.full(n, INF, dtype=np.int64)
+        dist[v - begin] = old
+        np.minimum.at(dist, v - begin, best[v - begin])
+        csr = ctx["csr"]
+        loc = (csr.indices >= begin) & (csr.indices < end)
+        src_loc = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(csr.indptr))[loc]
+        dst_loc = csr.indices[loc] - begin
+        while True:
+            before = dist[dst_loc].copy()
+            cand = dist[src_loc]
+            relax = cand < INF  # avoid INF+1 wrap
+            np.minimum.at(dist, dst_loc[relax], cand[relax] + 1)
+            if np.array_equal(before, dist[dst_loc]):
+                break
+        new = dist[v - begin]
+        changed = (new != old).astype(np.int64)
+        return {"v": v, "val": new, "active": changed.astype(np.int8),
+                "changed": changed, "in_msgs": in_msgs}
+
+
+def sssp_asp(graph: Graph, source: int, direction: str = "fwd",
+             max_supersteps: int = 10_000, **engine_kw):
+    """ASP-mode SSSP: same converged distances as :func:`sssp`."""
+    from ..graph import derive_direction
+
+    if direction != "fwd":
+        derive_direction(graph, direction)
+    eng = Engine(graph, AspSSSPKernel(source, direction), **engine_kw)
+    state = eng.run(max_supersteps=max_supersteps)
+    return state, eng
+
+
 def sssp(graph: Graph, source: int, direction: str = "fwd",
          max_supersteps: int = 10_000, **engine_kw):
     """Hop-count SSSP from ``source``; returns (state Dataset, engine)."""

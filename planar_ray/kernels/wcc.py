@@ -66,6 +66,59 @@ class WCCKernel(Kernel):
         return superstep > 0 and int(stats.get("changed") or 0) == 0
 
 
+class AspWCCKernel(WCCKernel):
+    """ASP (asynchronous-within-superstep) WCC — the reference's
+    wcc_asp_app (/root/reference/core/apps/wcc_asp_app.cpp:74-99) reads
+    mid-round writes so labels can travel many hops per round. The BSP
+    analogue with identical fixpoint: after merging the inbound
+    messages, run label propagation to LOCAL FIXPOINT over the
+    partition's intra-partition edges (its own CSR segment — ctx["csr"])
+    before emitting. Min-label propagation is monotone, so any extra
+    local iterations only accelerate convergence; the converged labels
+    are provably the same (min vertex id per component). Supersteps drop
+    from O(diameter) to O(cross-partition diameter)."""
+
+    name = "wcc_asp"
+    wants_csr = True
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        INF = np.iinfo(np.int64).max
+        best = np.full(n, INF, dtype=np.int64)
+        if len(msgs["v"]):
+            np.minimum.at(best, msgs["v"] - begin, msgs["val"])
+        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        v = state["v"]
+        old = state["val"]
+        lab = np.full(n, INF, dtype=np.int64)
+        lab[v - begin] = old
+        np.minimum.at(lab, v - begin, best[v - begin])
+        csr = ctx["csr"]
+        # intra-partition edge list (computed per call; O(E_p) vectorised)
+        loc = (csr.indices >= begin) & (csr.indices < end)
+        src_loc = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(csr.indptr))[loc]
+        dst_loc = csr.indices[loc] - begin
+        while True:
+            before = lab[dst_loc].copy()
+            np.minimum.at(lab, dst_loc, lab[src_loc])
+            if np.array_equal(before, lab[dst_loc]):
+                break
+        new = lab[v - begin]
+        changed = (new != old).astype(np.int64)
+        return {"v": v, "val": new, "active": changed.astype(np.int8),
+                "changed": changed, "in_msgs": in_msgs}
+
+
+def wcc_asp(graph: Graph, max_supersteps=200, **engine_kw):
+    """ASP-mode WCC: same fixpoint labels as :func:`wcc`, measured fewer
+    supersteps (see tests/test_round3.py and BASELINE.md)."""
+    derive_direction(graph, "sym")
+    eng = Engine(graph, AspWCCKernel(), **engine_kw)
+    state = eng.run(max_supersteps=max_supersteps)
+    return state, eng
+
+
 def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
         resume=False, contract_every: int = 0, **engine_kw):
     """Min-label WCC to fixpoint; returns (state Dataset, engine).

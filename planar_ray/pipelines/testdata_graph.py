@@ -229,6 +229,47 @@ def q_g2_wcc(sf_dir: str) -> pa.Table:
     )
 
 
+def q_g2_wcc_asp(sf_dir: str) -> pa.Table:
+    """ASP-mode WCC (local fixpoint per partition per superstep,
+    kernels/wcc.AspWCCKernel) — converges to the same labels as q_g2_wcc
+    in fewer supersteps; shares SQL_G2_WCC."""
+    from ..kernels.wcc import wcc_asp
+
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = wcc_asp(g)
+    vals = state.select_columns(["v", "val"])
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withc = _attach_key(withv, iddict, "val", "ckey")
+    tab = withc.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "component": pa.array(_format_keys_p(tab["ckey"].to_numpy())),
+        }
+    )
+
+
+def q_g2_sssp_asp(sf_dir: str) -> pa.Table:
+    """ASP-mode SSSP (local Bellman-Ford per partition per superstep) —
+    same converged hop distances as q_g2_sssp; shares SQL_G2_SSSP."""
+    from ..kernels.sssp import sssp_asp
+
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = sssp_asp(g, source=0, max_supersteps=SSSP_CAP)
+    reach = state.map_batches(
+        lambda t: t.filter(pc.less(t["val"], int(INF))).select(["v", "val"]),
+        batch_format="pyarrow",
+    )
+    withkey = _attach_key(reach, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+            "dist": pa.array(tab["val"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
 def q_g2_lpa(sf_dir: str) -> pa.Table:
     g, iddict = _build(sf_dir, "g2")
     state, _eng = lpa(g, max_iters=LPA_ITERS)
@@ -807,6 +848,8 @@ QUERIES = {
     "g2_randomwalk": q_g2_randomwalk,
     "g2_gnn": q_g2_gnn,
     "g2_wcc_precomp": q_g2_wcc_precomp,
+    "g2_wcc_asp": q_g2_wcc_asp,
+    "g2_sssp_asp": q_g2_sssp_asp,
 }
 
 ORACLES = {
@@ -824,4 +867,6 @@ ORACLES = {
     "g2_randomwalk": SQL_G2_RANDOMWALK,
     "g2_gnn": SQL_G2_GNN,
     "g2_wcc_precomp": SQL_G2_WCC,  # same fixpoint as plain WCC
+    "g2_wcc_asp": SQL_G2_WCC,     # ASP: identical fixpoint labels
+    "g2_sssp_asp": SQL_G2_SSSP,   # ASP: identical converged distances
 }

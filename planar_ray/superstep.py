@@ -321,7 +321,7 @@ class _StatsBoard:
 
 
 def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict,
-                  stats_board=None):
+                  stats_board=None, csr_refs: dict | None = None):
     boundaries = np.array(boundaries_list, dtype=np.int64)
 
     def apply_group(t: pa.Table) -> pa.Table:
@@ -341,8 +341,12 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
             state[n] = cols[n][is_state]
             msgs[n] = cols[n][is_msg]
         local_ctx = ctx
-        if is_gbl.any():
+        wants_csr = getattr(kernel, "wants_csr", False) and csr_refs is not None
+        if is_gbl.any() or wants_csr:
             local_ctx = dict(ctx)
+        if wants_csr:
+            local_ctx["csr"] = _csr_from_ref(run_id, part, csr_refs[part])
+        if is_gbl.any():
             local_ctx["global_partials"] = {
                 n: float(np.sort(cols[n][is_gbl]).sum()) for n in names
                 if not np.all(np.isnan(cols[n][is_gbl].astype(np.float64)))
@@ -390,6 +394,167 @@ def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int)
     return csr.begin, csr.end, csr.indptr, csr.indices
 
 
+# ---------------------------------------------------------------------------
+# direct partition-to-partition exchange (Engine(exchange="direct"))
+#
+# The dataset-mode superstep routes messages through Ray Data's SORT-based
+# groupby("part") shuffle and re-ships the passthrough state rows every
+# superstep. For kernels whose message volume stays O(E) after combining
+# (LPA's (dst,label) pairs — measured 7 s of an 8.5 s superstep in the
+# sort+apply on the 16M-edge Zipf graph), the sort is pure overhead: the
+# destination partition of every row is KNOWN at scatter time (part_of(dst)
+# over fixed boundaries). Direct mode is the classic BSP all-to-all as raw
+# Ray tasks — the documented last-resort path for semantics the Dataset API
+# cannot express (a co-partitioned iterative exchange without a sort):
+#
+#   per superstep: P scatter tasks (one per partition; state table stays
+#   IN its partition, never shipped) each return P per-destination message
+#   tables (num_returns=P); P apply tasks consume their column of refs +
+#   their local state table and return (new state table, stats dict).
+#   ray.get on the stats refs is the BSP barrier.
+#
+# Partitioning assumption (document per SURVEY §7.7): state and messages
+# are range-partitioned by the SAME fixed boundaries as the CSR blocks;
+# one partition's state+messages fit a worker's heap (identical to the
+# dataset-mode apply-group assumption). Object lifetimes: at most two
+# supersteps of state tables are live; message tables free after apply.
+# ---------------------------------------------------------------------------
+
+
+def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
+                    part: int, state_tab: pa.Table):
+    """One partition's state -> P per-destination message tables
+    (role-1 pre-combined messages + role-2 global-partial rows).
+
+    ``kernel`` / ``csr_arrays`` arrive as top-level ObjectRef args, which
+    Ray auto-dereferences in the worker (zero-copy local fetch from the
+    object store — the same pinned objects the dataset path memoises)."""
+    k = kernel
+    boundaries = np.array(boundaries_list, dtype=np.int64)
+    P = len(boundaries_list) - 1
+    per_dest: list[list] = [[] for _ in range(P)]
+    v = state_tab["v"].to_numpy(zero_copy_only=False)
+    cols = {n: state_tab[n].to_numpy(zero_copy_only=False)
+            for n in k.columns if n in state_tab.column_names}
+    gp = k.global_partials(v, cols)
+    if gp:
+        gv = boundaries[:-1]
+        for q in range(P):
+            per_dest[q].append(k.rows(np.array([q]), gv[q:q + 1], ROLE_GLOBAL,
+                                      {n: np.full(1, val)
+                                       for n, val in gp.items()}))
+    active = None
+    if "active" in k.columns:
+        active = cols["active"].astype(bool)
+    if active is None or active.any():
+        vv = v if active is None else v[active]
+        ccols = (cols if active is None
+                 else {n: c[active] for n, c in cols.items()})
+        csr = CSRPart(*csr_arrays)
+        out = k.scatter(csr, vv, ccols)
+        if out is not None and len(out["v"]):
+            tgt = out.pop("v")
+            parts = part_of(tgt, boundaries)
+            order = np.argsort(parts, kind="stable")
+            tgt, parts = tgt[order], parts[order]
+            out = {n: c[order] for n, c in out.items()}
+            uniq, starts = np.unique(parts, return_index=True)
+            ends = np.concatenate([starts[1:], [len(parts)]])
+            for q, s, e in zip(uniq, starts, ends):
+                per_dest[int(q)].append(k.rows(
+                    np.full(e - s, int(q), np.int64), tgt[s:e], ROLE_MSG,
+                    {n: c[s:e] for n, c in out.items()}))
+    outs = [pa.concat_tables(ts) if ts else k.empty_table() for ts in per_dest]
+    return tuple(outs) if P > 1 else outs[0]
+
+
+def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
+                  part: int, csr_arrays, state_tab: pa.Table,
+                  *msg_tabs: pa.Table):
+    """One partition's state + its inbound message tables -> (new state
+    table, local stats dict). Same kernel contract as dataset mode.
+    ``csr_arrays`` is non-None only for kernels with ``wants_csr`` (the
+    ASP locals-fixpoint kernels): the partition's CSR lands in
+    ctx["csr"]."""
+    k = kernel
+    boundaries = np.array(boundaries_list, dtype=np.int64)
+    begin, end = int(boundaries[part]), int(boundaries[part + 1])
+    nonempty = [tab for tab in msg_tabs if len(tab)]
+    t = pa.concat_tables(nonempty) if nonempty else k.empty_table()
+    names = list(k.columns)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    is_msg = role == ROLE_MSG
+    is_gbl = role == ROLE_GLOBAL
+    mv = t["v"].to_numpy(zero_copy_only=False)
+    state = {"v": state_tab["v"].to_numpy(zero_copy_only=False)}
+    msgs = {"v": mv[is_msg]}
+    for n in names:
+        state[n] = state_tab[n].to_numpy(zero_copy_only=False)
+        c = t[n].to_numpy(zero_copy_only=False)
+        msgs[n] = c[is_msg]
+    local_ctx = ctx
+    if is_gbl.any() or csr_arrays is not None:
+        local_ctx = dict(ctx)
+    if csr_arrays is not None:
+        local_ctx["csr"] = CSRPart(*csr_arrays)
+    if is_gbl.any():
+        gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl] for n in names}
+        local_ctx["global_partials"] = {
+            n: float(np.sort(c.astype(np.float64)).sum()) for n, c in
+            gcols.items() if not np.all(np.isnan(c.astype(np.float64)))
+        }
+    new = k.apply(begin, end, state, msgs, local_ctx)
+    v_new = new.pop("v")
+    stats = k.local_stats(new)
+    return (k.rows(np.full(len(v_new), part, np.int64), v_new, ROLE_STATE, new),
+            stats)
+
+
+def _direct_init(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
+                 part: int):
+    k = kernel
+    boundaries = np.array(boundaries_list, dtype=np.int64)
+    begin, end = int(boundaries[part]), int(boundaries[part + 1])
+    csr = CSRPart(*csr_arrays)
+    cols = k.init_cols(part, begin, end, csr)
+    v = cols.pop("v", np.arange(begin, end, dtype=np.int64))
+    return (k.rows(np.full(len(v), part, np.int64), v, ROLE_STATE, cols),
+            k.local_stats(cols))
+
+
+def _split_state_block(boundaries_list: list, tab: pa.Table):
+    """One adopted-state block -> P per-partition sub-tables, partitioned
+    by part_of(v) over the engine's apply boundaries (the stored ``part``
+    column is replaced — see Engine._refs_by_part)."""
+    boundaries = np.array(boundaries_list, dtype=np.int64)
+    P = len(boundaries_list) - 1
+    v = tab["v"].to_numpy(zero_copy_only=False)
+    parts = part_of(v, boundaries)
+    tab = tab.set_column(tab.column_names.index("part"), "part",
+                         pa.array(parts))
+    order = np.argsort(parts, kind="stable")
+    tab = tab.take(order)
+    counts = np.bincount(parts, minlength=P)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    outs = [tab.slice(int(offs[p]), int(counts[p])) for p in range(P)]
+    return tuple(outs) if P > 1 else outs[0]
+
+
+def _concat_nonempty(empty: pa.Table, *tabs: pa.Table) -> pa.Table:
+    nonempty = [t for t in tabs if len(t)]
+    if not nonempty:
+        return empty
+    return pa.concat_tables(nonempty).combine_chunks()
+
+
+def _write_state_part(run_dir_step: str, part: int, tab: pa.Table) -> int:
+    import pyarrow.parquet as pq
+
+    os.makedirs(run_dir_step, exist_ok=True)
+    pq.write_table(tab, os.path.join(run_dir_step, f"part-{part:05d}.parquet"))
+    return len(tab)
+
+
 @dataclass
 class StepMetrics:
     superstep: int
@@ -413,6 +578,7 @@ class Engine:
         checkpoint_every: int = 0,
         scatter_batch: int | None = None,
         stats_every: int = 1,
+        exchange: str = "direct",
     ):
         # scatter_batch=None -> one batch per state block (= per partition,
         # thanks to the repartition(P) barrier), so scatter parallelism —
@@ -429,6 +595,14 @@ class Engine:
         self.checkpoint_every = checkpoint_every
         self.scatter_batch = scatter_batch
         self.stats_every = stats_every
+        # "direct" (default) = raw-task partition-to-partition exchange
+        # (see module comment above _direct_scatter; state never leaves
+        # its partition, no sort) — measured 3-7x faster per superstep at
+        # the 16M-edge scale. "dataset" = the groupby sort-shuffle chain
+        # (kept for parity testing and as the pure-Dataset formulation).
+        # Identical results — parity-tested per kernel.
+        self.exchange = exchange
+        self._state_refs: list | None = None
         self.metrics: list[StepMetrics] = []
         self.globals: dict = {}
         kernel._num_vertices = graph.num_vertices
@@ -446,7 +620,7 @@ class Engine:
         # of spin-up each (see module docstring).
         self._kernel_ref = ray.put(kernel)
         self._owner_pid = os.getpid()
-        self._stats_board = ray.remote(num_cpus=0)(_StatsBoard).remote()
+        self._stats_board = None  # dataset-mode only; created lazily
         load = ray.remote(num_returns=1)(_load_csr_arrays)
         self._csr_refs = {
             p: load.remote(graph.root, kernel.direction, p,
@@ -495,6 +669,13 @@ class Engine:
         self._csr_refs = {}
         self._kernel_ref = None
 
+    def _ensure_board(self):
+        import ray
+
+        if self._stats_board is None:
+            self._stats_board = ray.remote(num_cpus=0)(_StatsBoard).remote()
+        return self._stats_board
+
     def _merge_board_stats(self, superstep: int, state: Dataset | None) -> dict:
         """Poll the stats board until every partition reported (pushes are
         fire-and-forget; the materialize barrier already passed, so they
@@ -536,7 +717,7 @@ class Engine:
             state = parts.map_batches(
                 make_init_fn(self.run_id, self._kernel_ref, self._csr_refs,
                              self._apply_boundaries,
-                             stats_board=self._stats_board),
+                             stats_board=self._ensure_board()),
                 batch_format="pyarrow",
                 batch_size=1,
             )
@@ -568,9 +749,10 @@ class Engine:
         new = msgs.groupby("part").map_groups(
             make_apply_fn(self.run_id, self._kernel_ref,
                           self._apply_boundaries, ctx,
+                          csr_refs=self._csr_refs,
                           # skip the per-partition stat pushes entirely on
                           # no-stats supersteps (frontier-free inner loops)
-                          stats_board=self._stats_board if with_stats else None),
+                          stats_board=self._ensure_board() if with_stats else None),
             batch_format="pyarrow",
         )
         # Ray's sort shuffle emits one block per input block, and apply is
@@ -615,6 +797,8 @@ class Engine:
 
     def run(self, max_supersteps: int = 100, resume: bool = False,
             initial_state: Dataset | None = None) -> Dataset:
+        if self.exchange == "direct":
+            return self._run_direct(max_supersteps, resume, initial_state)
         state, start = None, 0
         if resume and self.run_dir:
             found = self.latest_checkpoint()
@@ -636,6 +820,131 @@ class Engine:
                 break
         return state
 
+    # -- direct-exchange mode (see _direct_scatter module comment) -----------
+    def _refs_by_part(self, state: Dataset) -> list:
+        """Adopted initial state Dataset -> per-part table refs (only used
+        on the adopt/resume paths).
+
+        The incoming ``part`` column is ignored and recomputed against THIS
+        engine's apply boundaries: an adopted state (e.g. hop-extrema seeds
+        for wcc_precomputed) may have been partitioned for another
+        direction's boundary set, and direct mode requires state[p] ⊆
+        csr[p]'s vertex range. Fully distributed: each block splits into P
+        sub-tables in a task, one concat task per partition."""
+        import ray
+
+        P = len(self._apply_boundaries) - 1
+        blocks = state.materialize().to_arrow_refs()
+        split = ray.remote(num_returns=P)(_split_state_block)
+        outs = [split.remote(self._apply_boundaries, b) for b in blocks]
+        if P == 1:
+            outs = [[o] for o in outs]
+        empty = self.kernel.empty_table()
+        concat = ray.remote(_concat_nonempty)
+        return [concat.remote(empty, *[o[p] for o in outs]) for p in range(P)]
+
+    def init_state_direct(self, state: Dataset | None = None) -> None:
+        import ray
+
+        P = len(self._apply_boundaries) - 1
+        if state is not None:
+            self._state_refs = self._refs_by_part(state)
+            row = state.aggregate(*self.kernel.stat_aggs())
+            self.globals = {k: (0 if v is None else v) for k, v in row.items()}
+            return
+        init = ray.remote(num_returns=2)(_direct_init)
+        outs = [init.remote(self.run_id, self._kernel_ref, self._csr_refs[p],
+                            self._apply_boundaries, p) for p in range(P)]
+        self._state_refs = [o[0] for o in outs]
+        stats = ray.get([o[1] for o in outs])
+        self.globals = Kernel.merge_stats(stats, self.kernel.stats_spec)
+
+    def step_direct(self, superstep: int, with_stats: bool = True) -> StepMetrics:
+        import ray
+
+        t0 = time.monotonic()
+        P = len(self._apply_boundaries) - 1
+        scatter = ray.remote(num_returns=P)(_direct_scatter)
+        apply_ = ray.remote(num_returns=2)(_direct_apply)
+        ctx = {"num_vertices": self.graph.num_vertices,
+               "num_edges": self.graph.num_edges,
+               "superstep": superstep,
+               "globals": dict(self.globals)}
+        outs = [scatter.remote(self.run_id, self._kernel_ref,
+                               self._csr_refs[p], self._apply_boundaries, p,
+                               self._state_refs[p]) for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        wants_csr = getattr(self.kernel, "wants_csr", False)
+        applied = [apply_.remote(self.run_id, self._kernel_ref,
+                                 self._apply_boundaries, ctx, q,
+                                 self._csr_refs[q] if wants_csr else None,
+                                 self._state_refs[q],
+                                 *[outs[p][q] for p in range(P)])
+                   for q in range(P)]
+        self._state_refs = [a[0] for a in applied]
+        if with_stats:
+            # ray.get on the stats refs IS the BSP barrier
+            stats = Kernel.merge_stats(ray.get([a[1] for a in applied]),
+                                       self.kernel.stats_spec)
+            self.globals = stats
+        else:
+            stats = dict(self.globals)  # supersteps pipeline through refs
+        dt = time.monotonic() - t0
+        m = StepMetrics(
+            superstep=superstep, seconds=dt,
+            max_delta=float(stats.get("max_delta", 0) or 0),
+            changed=int(stats.get("changed", 0) or 0),
+            in_msgs=int(stats.get("in_msgs", 0) or 0),
+            edges_per_sec=self.graph.num_edges / dt if dt > 0 else 0.0,
+        )
+        self.metrics.append(m)
+        if self.checkpoint_every and self.run_dir and (
+            superstep % self.checkpoint_every == 0
+        ):
+            self._checkpoint_direct(superstep, m)
+        return m
+
+    def state_dataset(self) -> Dataset:
+        import ray.data as rd
+
+        return rd.from_arrow_refs(list(self._state_refs))
+
+    def _checkpoint_direct(self, superstep: int, m: StepMetrics) -> None:
+        import shutil
+
+        import ray
+
+        step_dir = os.path.join(self.run_dir, f"step_{superstep:05d}")
+        state_dir = os.path.join(step_dir, "state")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        w = ray.remote(_write_state_part)
+        ray.get([w.remote(state_dir, p, self._state_refs[p])
+                 for p in range(len(self._state_refs))])
+        self._checkpoint_manifest(step_dir, superstep, m)
+
+    def _run_direct(self, max_supersteps: int, resume: bool,
+                    initial_state: Dataset | None) -> Dataset:
+        start = 0
+        if resume and self.run_dir:
+            found = self.latest_checkpoint()
+            if found is not None:
+                state, start = found
+                self._state_refs = self._refs_by_part(state)
+        if self._state_refs is None:
+            self.init_state_direct(initial_state)
+        for s in range(start, max_supersteps):
+            check = (
+                getattr(self.kernel, "needs_global_stats", False)
+                or self.stats_every <= 1
+                or s % self.stats_every == 0
+                or s == max_supersteps - 1
+            )
+            self.step_direct(s, with_stats=check)
+            if check and self.kernel.converged(self.globals, s):
+                break
+        return self.state_dataset()
+
     # -- checkpoint / resume (north rule) ------------------------------------
     def _checkpoint(self, state: Dataset, superstep: int, m: StepMetrics) -> None:
         import shutil
@@ -647,6 +956,10 @@ class Engine:
         shutil.rmtree(state_dir, ignore_errors=True)
         os.makedirs(state_dir, exist_ok=True)
         state.write_parquet(state_dir)
+        self._checkpoint_manifest(step_dir, superstep, m)
+
+    def _checkpoint_manifest(self, step_dir: str, superstep: int,
+                             m: StepMetrics) -> None:
         write_json_atomic(
             os.path.join(step_dir, "manifest.json"),
             {

@@ -161,6 +161,158 @@ def test_boruvka_round_resume(ray_session, tmp_root, threshold):
         forest_full.reset_index(drop=True))
 
 
+# ---------------------------------------------------------------------------
+# direct partition-to-partition exchange (Engine(exchange="direct"))
+# ---------------------------------------------------------------------------
+
+def _rand_graph(tmp_root: str, name: str):
+    import ray.data as rd
+
+    from planar_ray import graph as G
+    from planar_ray.graph import derive_direction
+
+    rng = np.random.default_rng(3)
+    E = rng.integers(0, 300, size=(2000, 2)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]}))
+    g = G.graph_from_id_edges(ds, f"{tmp_root}/{name}", num_parts=4)
+    derive_direction(g, "sym")
+    return g
+
+
+@pytest.mark.parametrize("kern", ["pagerank", "wcc", "lpa"])
+def test_direct_exchange_matches_dataset_mode(ray_session, tmp_root, kern):
+    from planar_ray.kernels.lpa import LPAKernel
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.kernels.wcc import WCCKernel
+    from planar_ray.superstep import Engine
+
+    kern_f = {"pagerank": PageRankKernel, "wcc": WCCKernel,
+              "lpa": LPAKernel}[kern]
+    steps = {"pagerank": 40, "wcc": 50, "lpa": 8}[kern]
+    g = _rand_graph(tmp_root, f"direct_{kern}")
+    e1 = Engine(g, kern_f(), exchange="dataset")
+    d1 = e1.run(max_supersteps=steps).to_pandas().sort_values("v")
+    e2 = Engine(g, kern_f(), exchange="direct")
+    d2 = e2.run(max_supersteps=steps).to_pandas().sort_values("v")
+    assert len(e1.metrics) == len(e2.metrics)  # same superstep count
+    assert np.allclose(d1["val"].to_numpy(), d2["val"].to_numpy(), atol=1e-12)
+    e1.close()
+    e2.close()
+
+
+def test_direct_mode_checkpoint_resume(ray_session, tmp_root):
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.superstep import Engine
+
+    g = _rand_graph(tmp_root, "direct_ckpt")
+    full = Engine(g, PageRankKernel()).run(max_supersteps=60)
+    fullv = full.to_pandas().sort_values("v")["val"].to_numpy()
+
+    run_dir = f"{tmp_root}/direct_ckpt_run"
+    eng1 = Engine(g, PageRankKernel(), run_dir=run_dir, checkpoint_every=1)
+    eng1.init_state_direct()
+    for s in range(3):
+        eng1.step_direct(s)
+    del eng1  # "crash"
+    eng2 = Engine(g, PageRankKernel(), run_dir=run_dir, checkpoint_every=1)
+    state2 = eng2.run(max_supersteps=60, resume=True)
+    resumed = state2.to_pandas().sort_values("v")["val"].to_numpy()
+    assert eng2.metrics[0].superstep == 3  # continued, not restarted
+    assert np.allclose(resumed, fullv, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ASP (asynchronous within a superstep) WCC / SSSP — reference
+# wcc_asp_app.cpp / sssp_asp_app.cpp parity at fixpoint
+# ---------------------------------------------------------------------------
+
+def _path_graph(tmp_root: str, name: str, n: int = 64):
+    import ray.data as rd
+
+    from planar_ray import graph as G
+    from planar_ray.graph import derive_direction
+
+    e = np.array([(i, i + 1) for i in range(n - 1)], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]}))
+    g = G.graph_from_id_edges(ds, f"{tmp_root}/{name}", num_parts=4)
+    derive_direction(g, "sym")
+    return g
+
+
+def test_asp_wcc_same_fixpoint_fewer_supersteps(ray_session, tmp_root):
+    from planar_ray.kernels.wcc import wcc, wcc_asp
+
+    g = _path_graph(tmp_root, "asp_path")
+    s_bsp, e_bsp = wcc(g)
+    s_asp, e_asp = wcc_asp(g)
+    b = s_bsp.to_pandas().sort_values("v")["val"].to_numpy()
+    a = s_asp.to_pandas().sort_values("v")["val"].to_numpy()
+    assert np.array_equal(a, b)
+    # a 64-vertex path needs ~diameter supersteps in BSP; ASP crosses a
+    # whole partition per superstep
+    assert len(e_asp.metrics) < len(e_bsp.metrics) / 3
+
+    g2 = _rand_graph(tmp_root, "asp_rand")
+    s_bsp2, _ = wcc(g2)
+    s_asp2, e2 = wcc_asp(g2)
+    assert np.array_equal(
+        s_asp2.to_pandas().sort_values("v")["val"].to_numpy(),
+        s_bsp2.to_pandas().sort_values("v")["val"].to_numpy())
+
+
+def test_asp_sssp_same_fixpoint_fewer_supersteps(ray_session, tmp_root):
+    from planar_ray.kernels.sssp import sssp, sssp_asp
+
+    g = _path_graph(tmp_root, "asp_sssp_path")
+    s_bsp, e_bsp = sssp(g, source=0)
+    s_asp, e_asp = sssp_asp(g, source=0)
+    b = s_bsp.to_pandas().sort_values("v")["val"].to_numpy()
+    a = s_asp.to_pandas().sort_values("v")["val"].to_numpy()
+    assert np.array_equal(a, b)
+    assert len(e_asp.metrics) < len(e_bsp.metrics) / 3
+
+
+# ---------------------------------------------------------------------------
+# planar_check parity tool (reference planar/planar_check.cpp)
+# ---------------------------------------------------------------------------
+
+def test_check_graph_clean_and_corrupted(ray_session, tmp_root):
+    import pyarrow.parquet as pq
+
+    from planar_ray.inspect_tools import check_graph
+
+    g = _rand_graph(tmp_root, "check_g")
+    rep = check_graph(g.root)
+    assert rep["ok"], rep["errors"]
+    assert set(rep["directions"]) == {"fwd", "sym"}
+    assert sum(p["rows"] for p in rep["directions"]["fwd"]["parts"]) \
+        == g.num_edges
+
+    # corruption 1: drop rows from one partition's payload
+    path = f"{g.root}/fwd/part=00001/edges.parquet"
+    tab = pq.read_table(path)
+    pq.write_table(tab.slice(0, max(1, len(tab) // 2)), path)
+    rep2 = check_graph(g.root, "fwd")
+    assert not rep2["ok"]
+    assert any("row count" in e for e in rep2["errors"])
+
+    # corruption 2: unsorted src (CSR precondition violated)
+    sliced = tab.to_pandas().iloc[::-1]
+    import pyarrow as _pa
+
+    pq.write_table(_pa.table({
+        "src": _pa.array(sliced["src"].to_numpy()),
+        "dst": _pa.array(sliced["dst"].to_numpy())}), path)
+    rep3 = check_graph(g.root, "fwd")
+    assert any("not sorted" in e for e in rep3["errors"])
+
+    # CLI wrapper exits nonzero on a broken graph
+    from planar_ray import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["check", g.root, "--direction", "fwd"])
+
+
 def test_minhash_dedup_phase_resume(ray_session, tmp_root):
     from planar_ray.pipelines.docs import q_doc_minhash_dedup
 
