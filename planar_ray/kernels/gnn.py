@@ -88,7 +88,11 @@ class GNNKernel(Kernel):
                 np.add.at(agg[:, j], mv[order] - begin,
                           msgs[f"f{j}"][order].astype(np.float64))
         h = agg[v - begin]
-        out = 1.0 / (1.0 + np.exp(-(h @ W.T + b)))
+        # exp overflow on very negative logits is benign (inf -> sigmoid
+        # exactly 0.0, matching the SQL oracle's float math) — silence the
+        # RuntimeWarning rather than branch, so values stay bit-identical
+        with np.errstate(over="ignore"):
+            out = 1.0 / (1.0 + np.exp(-(h @ W.T + b)))
         old = np.stack([state[f"f{j}"] for j in range(FDIM)], axis=1)
         cols = {f"f{j}": out[:, j] for j in range(FDIM)}
         cols["v"] = v

@@ -31,6 +31,12 @@ class LPAKernel(Kernel):
         "in_msgs": pa.int64(),
     }
 
+    def __init__(self, value_type: pa.DataType | None = None):
+        # narrow label variant — see WCCKernel / superstep.narrow_vertex_type
+        if value_type is not None:
+            self.columns = dict(self.columns)
+            self.columns["val"] = value_type
+
     def init_cols(self, part, begin, end, csr: CSRPart):
         n = end - begin
         v = np.arange(begin, end, dtype=np.int64)
@@ -79,10 +85,14 @@ class LPAKernel(Kernel):
 
 
 def lpa(graph: Graph, max_iters: int = 10, run_dir=None, checkpoint_every=0,
-        resume=False, **engine_kw):
-    """Synchronous LPA for at most ``max_iters`` supersteps."""
+        resume=False, narrow: bool = False, **engine_kw):
+    """Synchronous LPA for at most ``max_iters`` supersteps.
+    ``narrow=True``: labels in the narrowest unsigned type fitting V."""
+    from ..superstep import narrow_vertex_type
+
     derive_direction(graph, "sym")
-    eng = Engine(graph, LPAKernel(), run_dir=run_dir,
+    vt = narrow_vertex_type(graph.num_vertices) if narrow else None
+    eng = Engine(graph, LPAKernel(value_type=vt), run_dir=run_dir,
                  checkpoint_every=checkpoint_every, **engine_kw)
     state = eng.run(max_supersteps=max_iters, resume=resume)
     return state, eng

@@ -145,26 +145,23 @@ def boruvka(graph: Graph, max_rounds: int = 50,
     import ray.data as rd
 
     from ..checkpoint import PhaseLog
+    from .triangle import canonical_edges
 
     plog = PhaseLog(run_dir) if run_dir else None
     V = graph.num_vertices
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        a, b = np.minimum(s, d), np.maximum(s, d)
+    # canonical (a<b) distinct pairs via the bucketed vectorised unique —
+    # Ray's multi-key sort-aggregate sorted the full edge table by
+    # (src,dst) and dominated MST end-to-end (32 s of 35 s at 2.4M edges);
+    # self-loops drop here (they can never cross components anyway)
+    def add_ekey(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
         return pa.table({"src": pa.array(a), "dst": pa.array(b),
                          "ekey": pa.array(a * V + b)})
 
-    from ray.data.aggregate import Min
-
-    edges = graph.edges_dataset().map_batches(canon, batch_format="pyarrow")
-    # exact dedup of canonical pairs: one aggregate shuffle (ekey is a
-    # function of (src,dst), so Min just carries it through), not one
-    # Python call per distinct edge
-    edges = edges.groupby(["src", "dst"]).aggregate(
-        Min(on="ekey", alias_name="ekey")
-    ).select_columns(["src", "dst", "ekey"]).materialize()
+    edges = canonical_edges(graph.edges_dataset()).map_batches(
+        add_ekey, batch_format="pyarrow").materialize()
 
     if V <= broadcast_threshold:
         return _boruvka_broadcast(edges, V, max_rounds, plog=plog,

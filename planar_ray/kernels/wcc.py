@@ -31,6 +31,15 @@ class WCCKernel(Kernel):
         "in_msgs": pa.int64(),
     }
 
+    def __init__(self, value_type: pa.DataType | None = None):
+        # narrow label variant (reference core/common/types.h:25-28
+        # uint16 VertexData): shrink the label column in state tables,
+        # messages and checkpoints; numpy kernel math upcasts to int64,
+        # so labels are identical to the wide run (parity-tested)
+        if value_type is not None:
+            self.columns = dict(self.columns)
+            self.columns["val"] = value_type
+
     def init_cols(self, part, begin, end, csr: CSRPart):
         n = end - begin
         v = np.arange(begin, end, dtype=np.int64)
@@ -120,7 +129,8 @@ def wcc_asp(graph: Graph, max_supersteps=200, **engine_kw):
 
 
 def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
-        resume=False, contract_every: int = 0, **engine_kw):
+        resume=False, contract_every: int = 0, narrow: bool = False,
+        **engine_kw):
     """Min-label WCC to fixpoint; returns (state Dataset, engine).
 
     ``contract_every=k`` enables supervertex contraction — the
@@ -128,10 +138,18 @@ def wcc(graph: Graph, max_supersteps=200, run_dir=None, checkpoint_every=0,
     mutable_block_csr_graph.h:168-263) re-expressed as an immutable
     rebuild (see _wcc_contracting). Labels at fixpoint are identical;
     the live edge volume shrinks per phase (``eng.contract_log``).
+
+    ``narrow=True`` stores labels in the narrowest unsigned type that
+    fits V (uint16/uint32 — the reference's uint16 VertexData variant,
+    core/common/types.h:25-28); labels identical, state/message bytes
+    halved or quartered.
     """
+    from ..superstep import narrow_vertex_type
+
     derive_direction(graph, "sym")
+    vt = narrow_vertex_type(graph.num_vertices) if narrow else None
     if not contract_every:
-        eng = Engine(graph, WCCKernel(), run_dir=run_dir,
+        eng = Engine(graph, WCCKernel(value_type=vt), run_dir=run_dir,
                      checkpoint_every=checkpoint_every, **engine_kw)
         state = eng.run(max_supersteps=max_supersteps, resume=resume)
         return state, eng

@@ -54,12 +54,9 @@ LSH_TABLES = 4  # independent hyperplane tables (recall booster)
 
 
 def _read_emb(sf_dir: str) -> Dataset:
-    import ray.data as rd
+    from ..util import read_parquet_clean
 
-    from ..util import strip_schema_meta
-
-    return strip_schema_meta(
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -68,13 +68,10 @@ BROADCAST_VERIFY_MAX = 100_000  # candidate-doc cap for the broadcast verify pat
 def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
     import os
 
-    import ray.data as rd
+    from ..util import read_parquet_clean
 
-    from ..util import strip_schema_meta
-
-    return strip_schema_meta(
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                        columns=list(columns)))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=list(columns))
 
 
 # ---------------------------------------------------------------------------

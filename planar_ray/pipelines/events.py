@@ -28,12 +28,10 @@ GAP_US = 1_800_000_000     # 30 min session gap
 
 
 def _read_events(sf_dir: str, columns) -> Dataset:
-    import ray.data as rd
+    from ..util import read_parquet_clean
 
-    from ..util import strip_schema_meta
-
-    return strip_schema_meta(
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns))
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=columns)
 
 
 def q_events_window(sf_dir: str) -> pa.Table:

@@ -68,13 +68,10 @@ class FeatureExtractor:
 
 
 def payloads_from_docs(sf_dir: str) -> Dataset:
-    import ray.data as rd
+    from ..util import read_parquet_clean
 
-    from ..util import strip_schema_meta
-
-    docs = strip_schema_meta(
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"]))
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
 
     def to_binary(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -57,12 +57,10 @@ def _cache_root(sf_dir: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
-    import ray.data as rd
+    from ..util import read_parquet_clean
 
-    from ..util import strip_schema_meta
-
-    return strip_schema_meta(
-        rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns))
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
+                              columns=columns)
 
 
 # ---------------------------------------------------------------------------

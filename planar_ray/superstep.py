@@ -164,6 +164,19 @@ class Kernel:
         return pa.table(data, schema=self.schema())
 
 
+def narrow_vertex_type(num_vertices: int) -> pa.DataType:
+    """Narrowest unsigned Arrow type that holds any vertex id / label —
+    the reference keeps a uint16 VertexData variant for label kernels to
+    halve state bytes (/root/reference/core/common/types.h:25-28); here
+    it halves (or quarters) the label column in state tables, messages
+    and checkpoints. Kernel numpy math upcasts to int64 transparently."""
+    if num_vertices <= (1 << 16):
+        return pa.uint16()
+    if num_vertices <= (1 << 32):
+        return pa.uint32()
+    return pa.int64()
+
+
 def combine_sum(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic grouped sum: sort by (target, val) then reduce."""
     order = np.lexsort((vals, targets))

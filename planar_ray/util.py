@@ -13,6 +13,7 @@ import os
 from typing import Any, Iterable
 
 import numpy as np
+import pyarrow as pa
 
 
 def h64(*parts: Any) -> int:
@@ -94,6 +95,26 @@ def strip_schema_meta(ds):
 
     return ds.map_batches(lambda t: t.replace_schema_metadata(None),
                           batch_format="pyarrow")
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
+    """``rd.read_parquet`` with the pandas schema-metadata dict removed
+    AT THE READ (``schema=`` with ``remove_metadata()``).
+
+    :func:`strip_schema_meta` cleans blocks after a read, but the
+    ``Failed to hash the schemas`` warning also fires INSIDE the
+    ReadParquet op (SplitBlocks / downstream shuffles unify the read
+    tasks' block schemas, and a schema carrying the ``b'pandas'``
+    metadata dict is unhashable). Passing a stripped read schema stops
+    it at the source. One driver-side footer read per call — cheap."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=schema, **kw)
+    return rd.read_parquet(path, schema=schema, **kw)
 
 
 def write_json_atomic(path: str, obj: Any) -> None:

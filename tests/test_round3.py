@@ -326,3 +326,38 @@ def test_minhash_dedup_phase_resume(ray_session, tmp_root):
     shutil.rmtree(os.path.join(run_dir, "phase_001"))
     resumed = q_doc_minhash_dedup(SF, run_dir=run_dir, resume=True)
     assert resumed.to_pydict() == full.to_pydict()
+
+
+# ---------------------------------------------------------------------------
+# narrow (uint16/uint32) vertex-state variant — reference
+# core/common/types.h:25-28 uint16 VertexData parity
+# ---------------------------------------------------------------------------
+
+def test_narrow_state_wcc_lpa_parity(ray_session, tmp_root):
+    import pyarrow as pa
+
+    from planar_ray.kernels.lpa import lpa
+    from planar_ray.kernels.wcc import wcc
+    from planar_ray.superstep import narrow_vertex_type
+
+    assert narrow_vertex_type(300) == pa.uint16()
+    assert narrow_vertex_type(1 << 20) == pa.uint32()
+    assert narrow_vertex_type(1 << 40) == pa.int64()
+
+    g = _rand_graph(tmp_root, "narrow_g")  # 300 vertices -> uint16 labels
+    s_wide, e_wide = wcc(g)
+    s_nar, e_nar = wcc(g, narrow=True)
+    assert e_nar.kernel.columns["val"] == pa.uint16()
+    sch = s_nar.schema()  # ray.data Schema: parallel names/types lists
+    assert dict(zip(sch.names, sch.types))["val"] == pa.uint16()
+    w = s_wide.to_pandas().sort_values("v")["val"].to_numpy()
+    n = s_nar.to_pandas().sort_values("v")["val"].to_numpy()
+    assert np.array_equal(w, n.astype(np.int64))
+    assert len(e_wide.metrics) == len(e_nar.metrics)
+
+    l_wide, _ = lpa(g, max_iters=6)
+    l_nar, le = lpa(g, max_iters=6, narrow=True)
+    assert le.kernel.columns["val"] == pa.uint16()
+    assert np.array_equal(
+        l_wide.to_pandas().sort_values("v")["val"].to_numpy(),
+        l_nar.to_pandas().sort_values("v")["val"].to_numpy().astype(np.int64))
