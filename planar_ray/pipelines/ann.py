@@ -24,6 +24,12 @@ table on the driver:
   ``map_batches`` tags every vector with its random-hyperplane bucket,
   vectors sharing a bucket with a query are ``groupby(bucket)``-ed and
   brute-forced per group. Approximate (rows-only; pytest checks recall).
+* ``ann_ivf_topk`` — the second scale path: deterministic k-means
+  coarse centroids (driver-side over a distributed mod-sample), probe
+  the ``nprobe`` nearest lists per query. Probe-all mode (the default
+  under the gate) is exactly brute force and shares ``ann_topk``'s
+  oracle; ``ivf_build`` persists a list-partitioned parquet index so
+  non-probed lists are never read (file-level pruning at scale).
 
 Similarities are computed in float64 and ROUNDED to 6 digits BEFORE
 ranking on both sides, so tie-breaks (`vec_id` asc) are identical.
@@ -527,11 +533,182 @@ FROM ranked WHERE rn <= {TOP_K}
 SQL_ANN_LSH_TOPK = _lsh_sql()
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16      # coarse centroids (lists)
+IVF_NPROBE = 4      # lists probed per query in approximate mode
+IVF_SAMPLE = 4096   # training-sample cap (driver-side k-means input)
+IVF_KMEANS_ITERS = 10
+
+
+def ivf_train(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
+    """Deterministic coarse centroids: a distributed mod-sample (at most
+    ~IVF_SAMPLE rows reach the driver, picked by ``vec_id % m == 0`` so
+    the sample is reproducible), then seeded k-means++ / Lloyd in numpy.
+    Centroids are a tiny (nlist, dim) matrix — broadcast, never joined."""
+    ds = _read_emb(sf_dir)
+    n = ds.count()
+    m = max(1, n // IVF_SAMPLE)
+
+    def pick(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % m == 0))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(97)
+    # k-means++ seeding
+    cent = [X[int(rng.integers(len(X)))]]
+    for _ in range(1, min(nlist, len(X))):
+        d2 = np.min(
+            [np.sum((X - c) ** 2, axis=1) for c in cent], axis=0)
+        p = d2 / max(d2.sum(), 1e-30)
+        cent.append(X[int(rng.choice(len(X), p=p))])
+    C = np.stack(cent)
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+        for j in range(len(C)):
+            mask = assign == j
+            if mask.any():
+                v = X[mask].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-30)
+    return C
+
+
+def ivf_build(sf_dir: str, index_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
+    """Persist the IVF index: embeddings written as parquet PARTITIONED BY
+    list id (one directory per inverted list), centroids alongside as
+    ``centroids.npy``. At scale this is what turns nprobe into an I/O
+    win — a query reads only its probed lists' files, the other
+    (nlist - nprobe)/nlist of the corpus never leaves storage. Resumable
+    output: one directory per list."""
+    import ray
+
+    C = ivf_train(sf_dir, nlist)
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        vid, m = _norm_rows(t)
+        lid = np.argmax(m @ ray.get(cref).T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "embedding": t["embedding"].combine_chunks(),
+            "list_id": pa.array(lid, pa.int64()),
+        })
+
+    (_read_emb(sf_dir)
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["list_id"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return C
+
+
+def q_ann_ivf_topk(sf_dir: str, nprobe: int | None = None,
+                   index_dir: str | None = None) -> pa.Table:
+    """Top-k via IVF probing — the dual-plan pattern once more:
+
+    * ``nprobe = nlist`` (the default at or below EXACT_SCAN_MAX_ROWS
+      rows): every list is probed, so the result IS the brute-force
+      top-k — bit-identical to ``ann_topk`` (same rounding and
+      (sim desc, id asc) tie-break) and oracle-checked against the same
+      SQL.
+    * ``nprobe < nlist`` (the default beyond the gate): only the nprobe
+      lists whose centroids are nearest each query are scanned —
+      sub-linear candidate volume; with a built ``index_dir`` the
+      non-probed lists are never read at all (file-level pruning).
+
+    Without ``index_dir`` the assignment runs inline in the same
+    map_batches that scores candidates: one broadcast centroid matmul
+    per batch, no extra pass and no shuffle."""
+    import ray
+
+    if index_dir and os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        C = np.load(os.path.join(index_dir, "centroids.npy"))
+    else:
+        index_dir = None
+        C = ivf_train(sf_dir)
+    if nprobe is None:
+        n = _read_emb(sf_dir).count()
+        nprobe = len(C) if n <= EXACT_SCAN_MAX_ROWS else IVF_NPROBE
+    nprobe = min(nprobe, len(C))
+
+    q_ids, q_mat = _query_set(sf_dir)
+    # per-query probed lists: nprobe nearest centroids
+    order = np.argsort(-(q_mat @ C.T), axis=1, kind="stable")[:, :nprobe]
+    wanted = sorted({int(l) for l in order.ravel()})
+    ref = ray.put((q_ids, q_mat, order, C))
+
+    def sims(t: pa.Table) -> pa.Table:
+        qi, qm, probes, cent = ray.get(ref)
+        vid, m = _norm_rows(t)
+        if "list_id" in t.column_names:  # built index: list is on disk
+            lid = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            lid = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qi)):
+            cand = np.isin(lid, probes[j])
+            if not cand.any():
+                continue
+            cv, cm = vid[cand], m[cand]
+            s = np.round(cm @ qm[j], 6)
+            take = min(TOP_K, len(s))
+            idx = np.lexsort((cv, -s))[:take]  # local top-k combiner
+            out_q.append(np.full(take, qi[j], np.int64))
+            out_v.append(cv[idx])
+            out_s.append(s[idx])
+        if not out_q:
+            return _EMPTY_SIMS.empty_table()
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    if index_dir:
+        import ray.data as rd
+
+        from ..util import strip_schema_meta
+
+        # file-level pruning: only probed lists' files are read; the
+        # partition column isn't surfaced by the file-path read, so
+        # sims() recomputes the (deterministic) assignment from the
+        # broadcast centroids — same argmax, same lists
+        import glob as _glob
+
+        paths = [f
+                 for l in wanted
+                 for f in sorted(_glob.glob(
+                     os.path.join(index_dir, f"list_id={l}", "*.parquet")))]
+        ds = strip_schema_meta(rd.read_parquet(paths))
+    else:
+        ds = _read_emb(sf_dir)
+    partial = ds.map_batches(sims, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank", "sim"]]
+
+    out = partial.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}),
+        preserve_index=False,
+    )
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_neardup": q_ann_neardup,
     "ann_knn_label": q_ann_knn_label,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -539,4 +716,6 @@ ORACLES = {
     "ann_neardup": SQL_ANN_NEARDUP,
     "ann_knn_label": SQL_ANN_KNN_LABEL,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    # probe-all IVF is exactly brute-force top-k -> same oracle
+    "ann_ivf_topk": SQL_ANN_TOPK,
 }

@@ -361,3 +361,27 @@ def test_narrow_state_wcc_lpa_parity(ray_session, tmp_root):
     assert np.array_equal(
         l_wide.to_pandas().sort_values("v")["val"].to_numpy(),
         l_nar.to_pandas().sort_values("v")["val"].to_numpy().astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: probe-all == brute force; built index == inline; nprobe prunes
+# ---------------------------------------------------------------------------
+
+def test_ivf_exact_equals_brute_force_and_index_path(ray_session, tmp_root):
+    bf = ann.q_ann_topk(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    ex = ann.q_ann_ivf_topk(SF).to_pandas()  # under gate -> probe-all
+    assert bf.equals(ex.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    idx = os.path.join(tmp_root, "ivf_index")
+    ann.ivf_build(SF, idx)
+    # one directory per inverted list on disk (resumable, prunable)
+    lists = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(lists) > 1
+    exi = ann.q_ann_ivf_topk(SF, index_dir=idx).to_pandas()
+    assert bf.equals(exi.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    ap = ann.q_ann_ivf_topk(SF, nprobe=4, index_dir=idx).to_pandas()
+    hit = len(set(map(tuple, ap[["query_id", "vec_id"]].to_numpy())) &
+              set(map(tuple, bf[["query_id", "vec_id"]].to_numpy())))
+    assert hit / len(bf) >= 0.3  # approximate, but far above chance
