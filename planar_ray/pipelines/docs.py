@@ -44,7 +44,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..joins import hash_bucket_join
-from ..util import h64_bytes_vec, splitmix64
+from ..util import h64, h64_bytes_vec, splitmix64
 
 TOKEN_RE = "[a-z0-9_]+"  # RE2-safe, identical semantics in pyarrow + DuckDB
 STOPWORDS = {
@@ -642,11 +642,68 @@ class Winnower:
         return np.unique(mins).astype(np.int64, casting="unsafe")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_fp, min_fp = [], []
-        for s in t["text"].to_pylist():
-            fp = self.fingerprints(s)
-            n_fp.append(len(fp))
-            min_fp.append(int(fp.min()))
+        """Whole-batch winnowing over the CONCATENATED Arrow utf-8
+        buffer — one polynomial-hash pass and one window-min pass for
+        the entire batch, no per-doc Python loop. Windows that straddle
+        a doc boundary are computed but never selected (each doc's valid
+        start range excludes its last k-1 / w-1 positions), so results
+        are byte-identical to per-doc ``fingerprints``."""
+        k, w = self.k, self.w
+        col = t["text"].combine_chunks().cast(pa.large_string())
+        bufs = col.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64)[
+            col.offset:col.offset + len(col) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        n = len(col)
+        L = np.diff(off)
+        n_fp = np.zeros(n, dtype=np.int64)
+        min_fp = np.zeros(n, dtype=np.int64)
+
+        normal = L >= k  # docs with at least one k-gram
+        if normal.any() and len(data) >= k:
+            d64 = data.astype(np.uint64)
+            m = len(data) - k + 1
+            hashes = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):  # wraparound = mod 2^64
+                for j in range(k):
+                    hashes += d64[j:j + m] * self.weights[j]
+            nw = L - k + 1  # k-gram count per doc
+            few = normal & (nw < w)  # min over ALL the doc's hashes
+            for i in np.flatnonzero(few):
+                h = hashes[off[i]:off[i] + nw[i]]
+                n_fp[i] = 1
+                min_fp[i] = np.int64(h.min().astype(np.int64))
+            many = normal & (nw >= w)
+            if many.any():
+                mw = len(hashes) - w + 1
+                mins_all = np.lib.stride_tricks.sliding_window_view(
+                    hashes, w).min(axis=1) if mw > 0 else hashes[:0]
+                starts = off[:-1][many]
+                cnt = (nw[many] - w + 1)
+                tot = int(cnt.sum())
+                # grouped arange: for each doc, its cnt window positions
+                docrep = np.repeat(np.flatnonzero(many), cnt)
+                pos = (np.arange(tot)
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                       + np.repeat(starts, cnt))
+                vals = mins_all[pos].astype(np.int64)  # unsafe cast as before
+                order = np.lexsort((vals, docrep))
+                dr, vs = docrep[order], vals[order]
+                first = np.empty(tot, dtype=bool)
+                first[0] = True
+                first[1:] = (dr[1:] != dr[:-1]) | (vs[1:] != vs[:-1])
+                np.add.at(n_fp, dr[first], 1)
+                # per-doc min = first value of each doc group (sorted asc)
+                head = np.empty(tot, dtype=bool)
+                head[0] = True
+                head[1:] = dr[1:] != dr[:-1]
+                min_fp[dr[head]] = vs[head]
+
+        for i in np.flatnonzero(~normal):  # rare: doc shorter than k bytes
+            fp = self.fingerprints(col[i].as_py())
+            n_fp[i] = len(fp)
+            min_fp[i] = int(fp.min())
+
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -663,27 +720,87 @@ def q_doc_fingerprint(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
 
+def _fingerprint_sql(k: int = 8, w: int = 4) -> str:
+    """SQL twin of the winnowing fingerprints (the splitmix64-in-SQL
+    precedent): the k-gram polynomial rolling hash is pure mod-2^64
+    arithmetic, so HUGEINT replicates it bit-exactly — byte j of each
+    window contributes ``byte * base^(k-1-j)``, built with ``lead()``
+    window functions; window minima are a ROWS BETWEEN frame over the
+    UNSIGNED hash (HUGEINT in [0, 2^64) preserves unsigned order);
+    the final distinct-count/min are over the int64-cast (signed)
+    values, matching the numpy ``astype(int64)``.
+
+    Valid for ASCII corpora whose docs all have >= k+w-1 bytes (the
+    testdata guarantee — ``ascii(substr(...))`` indexes characters, the
+    engine indexes utf-8 bytes; the engine's short-doc fallbacks are
+    siphash-based and deliberately not replicated)."""
+    base = 1099511628211
+    W = [pow(base, k - 1 - j, 1 << 64) for j in range(k)]
+    poly = " + ".join(
+        (f"b * {W[0]}::HUGEINT" if j == 0 else
+         f"lead(b, {j}) OVER win * {W[j]}::HUGEINT")
+        for j in range(k))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+  FROM documents),
+bytes AS MATERIALIZED (
+  SELECT doc_id, i,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS b
+  FROM pos),
+h AS MATERIALIZED (
+  SELECT doc_id, i,
+         ({poly}) % 18446744073709551616::HUGEINT AS hv,
+         lead(b, {k - 1}) OVER win IS NOT NULL AS ok
+  FROM bytes WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+mins AS (
+  SELECT doc_id, i,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mv,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+  FROM h WHERE ok),
+signed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN mv >= 9223372036854775808::HUGEINT
+                   THEN mv - 18446744073709551616::HUGEINT
+                   ELSE mv END AS BIGINT) AS sv
+  FROM mins WHERE cnt = {w})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT sv) AS BIGINT) AS n_fp,
+       MIN(sv) AS min_fp
+FROM signed GROUP BY doc_id
+"""
+
+
+SQL_DOC_FINGERPRINT = _fingerprint_sql()
+
+
 TOP_TERMS_K = 20
 
 
 def _token_counts(sf_dir: str) -> "Dataset":
-    """(token, n) global token counts: per-batch combiner (np.unique)
-    then one aggregate shuffle."""
+    """(token, n) global token counts: per-batch combiner then one
+    aggregate shuffle. Tokenisation is pure Arrow kernels — finding all
+    ``[a-z0-9_]+`` runs equals SPLITTING on ``[^a-z0-9_]+`` (dropping
+    the empty boundary fragments), so lower + split_pattern_regex +
+    list_flatten + value_counts replaces the per-row ``re.findall``
+    loop; no Python touches a token."""
     from ray.data.aggregate import Sum
 
     docs = _read_docs(sf_dir, columns=("text",))
-    tok_re = re.compile(TOKEN_RE)
 
     def batch_counts(t: pa.Table) -> pa.Table:
-        toks = []
-        for s in t["text"].to_pylist():
-            toks.extend(tok_re.findall(s.lower()))
-        if not toks:
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
             return pa.schema([("token", pa.string()),
                               ("n", pa.int64())]).empty_table()
-        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        return pa.table({"token": pa.array(uniq, pa.string()),
-                         "n": pa.array(cnt.astype(np.int64))})
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     return docs.map_batches(batch_counts, batch_format="pyarrow").groupby(
         "token"
@@ -748,4 +865,5 @@ ORACLES = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_vocab": SQL_DOC_VOCAB,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
 }

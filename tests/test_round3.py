@@ -385,3 +385,26 @@ def test_ivf_exact_equals_brute_force_and_index_path(ray_session, tmp_root):
     hit = len(set(map(tuple, ap[["query_id", "vec_id"]].to_numpy())) &
               set(map(tuple, bf[["query_id", "vec_id"]].to_numpy())))
     assert hit / len(bf) >= 0.3  # approximate, but far above chance
+
+
+# ---------------------------------------------------------------------------
+# whole-batch winnower == per-doc fingerprints (incl. unicode + short docs)
+# ---------------------------------------------------------------------------
+
+def test_winnower_batch_matches_per_doc(ray_session):
+    from planar_ray.pipelines.docs import Winnower
+
+    w = Winnower()
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    extra = pa.table({
+        "doc_id": pa.array([900001, 900002, 900003, 900004, 900005], pa.int64()),
+        "text": pa.array(["", "abc", "ünïcødé-text with ünïcødé",
+                          "1234567", "12345678"]),
+    })
+    t = pa.concat_tables([t, extra.cast(t.schema)])
+    got = w(t)
+    for i, s in enumerate(t["text"].to_pylist()):
+        fp = w.fingerprints(s)
+        assert got["n_fp"][i].as_py() == len(fp), s[:30]
+        assert got["min_fp"][i].as_py() == int(fp.min()), s[:30]
