@@ -128,6 +128,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
 
     # training-data ops over the sf tables
     from planar_ray.pipelines.ann import (
+        q_ann_ivf_topk,
         q_ann_lsh_topk,
         q_ann_neardup,
         q_ann_topk,
@@ -150,6 +151,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         ("ann_topk", q_ann_topk),
         ("ann_neardup", q_ann_neardup),
         ("ann_lsh_topk", q_ann_lsh_topk),
+        ("ann_ivf_topk", q_ann_ivf_topk),
         ("events_window", q_events_window),
         ("events_sessionize", q_events_sessionize),
     ]:

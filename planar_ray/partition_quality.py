@@ -146,6 +146,24 @@ def bfs_assign(graph: Graph, num_parts: int):
     return fn
 
 
+def bfs_capped_assign(graph: Graph, max_vertices_per_part: int):
+    """S15 ``BFSBasedEdgeCutPartitioner`` (/root/reference/tools/
+    graph_partitioner/partitioner/bfs_based_edgecut.cpp:82-160): grow
+    BFS from max-degree roots and fill a partition bucket until it holds
+    ``max_vertex_num_per_partition`` vertices, then open the next — i.e.
+    ``part = bfs_rank // cap``. Unlike ``bfs_assign`` (edge-balanced
+    cuts in rank space) this bounds the VERTEX count per partition,
+    which is what the reference trades edge balance for. Offline tool
+    scale, like every reference partitioner executable."""
+    rank = bfs_order(graph)
+    cap = max(1, int(max_vertices_per_part))
+
+    def fn(ids: np.ndarray) -> np.ndarray:
+        return rank[ids.astype(np.int64)] // cap
+
+    return fn
+
+
 def grid_blocks(edges: Dataset, num_parts: int) -> Dataset:
     """S14 2-D grid partitioner: tag every edge with its
     (src_part, dst_part) block over hash parts — the composite-key
@@ -194,14 +212,18 @@ def relabel_graph(graph: Graph, rank: np.ndarray, root: str,
 
 
 def compare_partitioners(graph: Graph) -> dict:
-    """Edge-cut fractions for range / hash / BFS partitioning of a graph."""
+    """Edge-cut fractions for range / hash / BFS / capped-BFS
+    partitioning of a graph."""
     edges = graph.edges_dataset().materialize()
     P = graph.num_parts
+    cap = -(-graph.num_vertices // P)  # ceil: P vertex-capped buckets
     return {
         "range_cut": round(edge_cut_fraction(edges,
                                              range_assign(graph.boundaries)), 4),
         "hash_cut": round(edge_cut_fraction(edges, hash_assign(P)), 4),
         "bfs_cut": round(edge_cut_fraction(edges, bfs_assign(graph, P)), 4),
+        "bfs_capped_cut": round(
+            edge_cut_fraction(edges, bfs_capped_assign(graph, cap)), 4),
         "num_parts": P,
         "num_edges": graph.num_edges,
     }

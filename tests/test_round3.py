@@ -408,3 +408,28 @@ def test_winnower_batch_matches_per_doc(ray_session):
         fp = w.fingerprints(s)
         assert got["n_fp"][i].as_py() == len(fp), s[:30]
         assert got["min_fp"][i].as_py() == int(fp.min()), s[:30]
+
+
+# ---------------------------------------------------------------------------
+# S15 vertex-capped BFS edge-cut (reference bfs_based_edgecut.cpp:82-160)
+# ---------------------------------------------------------------------------
+
+def test_bfs_capped_assign_respects_cap_and_beats_hash(ray_session, tmp_root):
+    from planar_ray.partition_quality import (
+        bfs_capped_assign,
+        edge_cut_fraction,
+        hash_assign,
+    )
+
+    g = _rand_graph(tmp_root, "capped_g")  # 300 vertices
+    cap = 75
+    fn = bfs_capped_assign(g, cap)
+    ids = np.arange(g.num_vertices, dtype=np.int64)
+    parts = fn(ids)
+    counts = np.bincount(parts)
+    assert counts.max() <= cap              # the cap is a hard bound
+    assert len(counts) == -(-g.num_vertices // cap)
+    e = g.edges_dataset().materialize()
+    cut_capped = edge_cut_fraction(e, fn)
+    cut_hash = edge_cut_fraction(e, hash_assign(len(counts)))
+    assert cut_capped <= cut_hash + 1e-9    # BFS locality helps (or ties)
