@@ -71,43 +71,115 @@ def build_vertex_dict(edges_keys: Dataset, out_dir: str, num_partitions: int = 1
         lambda t: pa.table({"key": pc.unique(t["key"])}), batch_format="pyarrow"
     )
     keys = coalesce(keys)
-    distinct = keys.groupby("key").aggregate(Count(alias_name="_n")).select_columns(["key"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (h64_bytes_vec(t["key"].to_pylist(), "vbkt") % ID_BUCKETS).astype(np.int64)
         return t.append_column("bucket", pa.array(b))
 
-    distinct = distinct.map_batches(add_bucket, batch_format="pyarrow").materialize()
-
-    counts = distinct.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
-    counts = counts.sort_values("bucket")
-    offsets = np.zeros(ID_BUCKETS, dtype=np.int64)
-    offsets[counts["bucket"].to_numpy()] = counts["n"].to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
-
+    # ONE shuffle total (was three: global distinct, bucket counts,
+    # bucket rank): the per-bucket group dedups AND sorts its keys —
+    # a key's bucket is a pure function of the key, so the in-group
+    # unique IS the global distinct — and emits a bucket-local rank.
+    # Global id = offsets[bucket] + local rank, with offsets the cumsum
+    # of per-bucket distinct counts gathered by a shuffle-free per-block
+    # bincount (ID_BUCKETS rows to the driver, nothing else).
     def rank_group(t: pa.Table) -> pa.Table:
         b = int(t["bucket"][0].as_py())
-        order = pc.sort_indices(t["key"])
-        keys_sorted = t["key"].take(order)
-        v = offsets[b] + np.arange(len(t), dtype=np.int64)
-        return pa.table({"key": keys_sorted, "v": pa.array(v)})
+        uniq = pc.unique(t["key"])
+        keys_sorted = uniq.take(pc.sort_indices(uniq))
+        n = len(keys_sorted)
+        return pa.table({
+            "key": keys_sorted,
+            "bucket": pa.array(np.full(n, b, np.int64)),
+            "lrank": pa.array(np.arange(n, dtype=np.int64)),
+        })
 
-    vdict = distinct.groupby("bucket").map_groups(rank_group, batch_format="pyarrow")
+    ranked = keys.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket").map_groups(rank_group, batch_format="pyarrow").materialize()
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["bucket"].to_numpy(zero_copy_only=False),
+                        minlength=ID_BUCKETS)
+        return pa.table({"bucket": pa.array(np.arange(ID_BUCKETS)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = ranked.map_batches(
+        block_counts, batch_format="pyarrow").to_pandas().groupby(
+        "bucket")["n"].sum()
+    offsets = np.zeros(ID_BUCKETS, dtype=np.int64)
+    offsets[counts.index.to_numpy()] = counts.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        lr = t["lrank"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": t["key"], "v": pa.array(offsets[b] + lr)})
+
+    vdict = ranked.map_batches(finalize, batch_format="pyarrow")
     vdir = os.path.join(out_dir, "vertices")
     vdict.write_parquet(vdir)
     return vdict
 
 
+# under this many vertices the whole dictionary is broadcast once via
+# ray.put and edges resolve with an in-task C index lookup — zero join
+# shuffles; beyond it the two-hash-join plan runs (the 100-TB path,
+# plan-equality tested like every other broadcast gate)
+BROADCAST_VDICT_MAX = 2_000_000
+
+
 def map_edges_to_ids(
     edges_keys: Dataset, vdict: Dataset, num_partitions: int = 16,
-    dedup: bool = True,
+    dedup: bool = True, num_vertices: int | None = None,
+    broadcast_threshold: int = BROADCAST_VDICT_MAX,
 ) -> Dataset:
-    """(src_key, dst_key) -> (src, dst) int64 via two hash joins.
+    """(src_key, dst_key) -> (src, dst) int64.
 
-    ``dedup=False`` skips the exact multi-edge dedup shuffle — used by
-    build_graph, whose partition step dedups inside the per-partition
-    write (one shuffle instead of two).
+    Dual plan: broadcast-dictionary lookup under ``broadcast_threshold``
+    vertices, two hash joins beyond. ``dedup=False`` skips the exact
+    multi-edge dedup shuffle — used by build_graph, whose partition step
+    dedups inside the per-partition write (one shuffle instead of two).
     """
+    n = num_vertices if num_vertices is not None else vdict.count()
+    if n <= broadcast_threshold:
+        e = _map_edges_broadcast(edges_keys, vdict)
+    else:
+        e = _map_edges_join(edges_keys, vdict, num_partitions)
+    # self-loop guard (reference converter behavior)
+    e = e.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])), batch_format="pyarrow"
+    )
+    if not dedup:
+        return e
+    grouped = e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+    return grouped.select_columns(["src", "dst"])
+
+
+def _map_edges_broadcast(edges_keys: Dataset, vdict: Dataset) -> Dataset:
+    # Arrow index_in, NOT pandas get_indexer: pandas' string hash table
+    # compares C strings, so keys with embedded NUL bytes silently
+    # truncate and mis-match; Arrow hashes the full buffer.
+    import ray
+
+    tbl = pa.concat_tables(
+        ray.get(vdict.select_columns(["key", "v"]).to_arrow_refs())
+    )
+    ref = ray.put((tbl["key"].combine_chunks(), tbl["v"].combine_chunks()))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        keys, v = ray.get(ref)
+        si = pc.index_in(t["src_key"].combine_chunks(), value_set=keys)
+        di = pc.index_in(t["dst_key"].combine_chunks(), value_set=keys)
+        keep = pc.and_(si.is_valid(), di.is_valid())  # inner-join semantics
+        return pa.table({"src": v.take(si.filter(keep)),
+                         "dst": v.take(di.filter(keep))})
+
+    return edges_keys.select_columns(["src_key", "dst_key"]).map_batches(
+        resolve, batch_format="pyarrow")
+
+
+def _map_edges_join(edges_keys: Dataset, vdict: Dataset,
+                    num_partitions: int) -> Dataset:
     vd = vdict.select_columns(["key", "v"])
     e = edges_keys.select_columns(["src_key", "dst_key"])
     e = hash_bucket_join(e, vd, left_on="src_key", right_on="key",
@@ -118,17 +190,9 @@ def map_edges_to_ids(
     )
     e = hash_bucket_join(e, vd, left_on="dst_key", right_on="key",
                          buckets=num_partitions * 4)
-    e = e.map_batches(
+    return e.map_batches(
         lambda t: pa.table({"src": t["src"], "dst": t["v"]}), batch_format="pyarrow"
     )
-    # self-loop guard (reference converter behavior)
-    e = e.map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])), batch_format="pyarrow"
-    )
-    if not dedup:
-        return e
-    grouped = e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-    return grouped.select_columns(["src", "dst"])
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +482,8 @@ def build_graph(
     num_vertices = vdict.count()
     # exact multi-edge dedup happens inside the partition write (src is
     # the partition key), saving the global (src,dst) groupby shuffle
-    edges_ids = map_edges_to_ids(edges_keys, vdict, num_partitions, dedup=False)
+    edges_ids = map_edges_to_ids(edges_keys, vdict, num_partitions,
+                                 dedup=False, num_vertices=num_vertices)
     g = partition_edges(edges_ids, root, num_vertices, num_parts, "fwd",
                         dedup_in_parts=True)
     return g, vdict

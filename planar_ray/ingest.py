@@ -275,22 +275,18 @@ def build_edges(files: Dataset, num_partitions: int = 16) -> Dataset:
     stems = files.map_batches(_file_stems, batch_format="pyarrow")
     # two files differing only by extension (a.py / a.js) share a stem;
     # resolve deterministically to the MIN file_key (same rule as
-    # oracle_edges) so pipeline and oracle agree on collision corpora
-    from ray.data.aggregate import Min
+    # oracle_edges) so pipeline and oracle agree on collision corpora.
+    # Dual plan: the stem dictionary has ONE row per file, so under the
+    # broadcast threshold it collapses driver-side (pandas groupby-min)
+    # and candidates resolve with an in-task C index lookup — no
+    # aggregate shuffle, no join shuffle; the two-shuffle plan runs
+    # beyond the gate (plan-equality tested).
+    from .graph import BROADCAST_VDICT_MAX
 
-    stems = stems.groupby("stem_key").aggregate(
-        Min(on="file_key", alias_name="file_key")
-    )
-    resolved = hash_bucket_join(
-        file_cands, stems, left_on="stem_key", right_on="stem_key",
-        buckets=num_partitions * 4,
-    )
-    resolved = resolved.map_batches(
-        lambda t: pa.table(
-            {"src_key": t["src_key"], "dst_key": t["file_key"], "kind": t["kind"]}
-        ),
-        batch_format="pyarrow",
-    )
+    if files.count() <= BROADCAST_VDICT_MAX:
+        resolved = _resolve_stems_broadcast(file_cands, stems)
+    else:
+        resolved = _resolve_stems_join(file_cands, stems, num_partitions)
 
     contain = files.map_batches(
         lambda t: pa.table(
@@ -306,6 +302,49 @@ def build_edges(files: Dataset, num_partitions: int = 16) -> Dataset:
     edges = direct.union(resolved).union(contain)
     return edges.map_batches(
         lambda t: t.filter(pc.not_equal(t["src_key"], t["dst_key"])),
+        batch_format="pyarrow",
+    )
+
+
+def _resolve_stems_broadcast(file_cands: Dataset, stems: Dataset) -> Dataset:
+    # Arrow group_by + index_in, NOT pandas: stem_key embeds a NUL
+    # separator, and pandas' string hash table compares C strings —
+    # keys truncate at the NUL and mis-match; Arrow hashes full buffers.
+    import ray
+
+    tbl = pa.concat_tables(ray.get(stems.to_arrow_refs()))
+    agg = tbl.group_by("stem_key").aggregate([("file_key", "min")])
+    ref = ray.put((agg["stem_key"].combine_chunks(),
+                   agg["file_key_min"].combine_chunks()))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        keys, fk = ray.get(ref)
+        i = pc.index_in(t["stem_key"].combine_chunks(), value_set=keys)
+        keep = i.is_valid()  # dangling stems drop (inner-join semantics)
+        return pa.table({
+            "src_key": t["src_key"].filter(keep),
+            "dst_key": fk.take(i.filter(keep)),
+            "kind": t["kind"].filter(keep),
+        })
+
+    return file_cands.map_batches(resolve, batch_format="pyarrow")
+
+
+def _resolve_stems_join(file_cands: Dataset, stems: Dataset,
+                        num_partitions: int) -> Dataset:
+    from ray.data.aggregate import Min
+
+    stems = stems.groupby("stem_key").aggregate(
+        Min(on="file_key", alias_name="file_key")
+    )
+    resolved = hash_bucket_join(
+        file_cands, stems, left_on="stem_key", right_on="stem_key",
+        buckets=num_partitions * 4,
+    )
+    return resolved.map_batches(
+        lambda t: pa.table(
+            {"src_key": t["src_key"], "dst_key": t["file_key"], "kind": t["kind"]}
+        ),
         batch_format="pyarrow",
     )
 

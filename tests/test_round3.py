@@ -433,3 +433,51 @@ def test_bfs_capped_assign_respects_cap_and_beats_hash(ray_session, tmp_root):
     cut_capped = edge_cut_fraction(e, fn)
     cut_hash = edge_cut_fraction(e, hash_assign(len(counts)))
     assert cut_capped <= cut_hash + 1e-9    # BFS locality helps (or ties)
+
+
+# ---------------------------------------------------------------------------
+# vertex-dict id mapping: broadcast plan == join plan (the dual-plan gate)
+# ---------------------------------------------------------------------------
+
+def test_map_edges_broadcast_plan_equals_join_plan(ray_session, tmp_root):
+    from planar_ray import corpus, graph as G, ingest
+    import ray.data as rd
+
+    cdir = corpus.write_corpus(corpus.TINY)
+    files = ingest.extract_files(rd.read_parquet(cdir), concurrency=2)
+    edges = ingest.build_edges(files, num_partitions=4).materialize()
+    vdict = G.build_vertex_dict(edges, os.path.join(tmp_root, "bv"), 4)
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        return df
+
+    bc = canon(G.map_edges_to_ids(edges, vdict, 4, broadcast_threshold=10**9))
+    jn = canon(G.map_edges_to_ids(edges, vdict, 4, broadcast_threshold=0))
+    assert bc.equals(jn)
+    assert len(bc) > 0
+
+
+def test_resolve_stems_broadcast_plan_equals_join_plan(ray_session, tmp_root):
+    """NUL-separator regression guard: the broadcast stem resolver must
+    match the hash-join plan exactly (stem_key embeds \\x00, which pandas
+    string hashing truncates — the resolver must stay Arrow-native)."""
+    from planar_ray import corpus, ingest
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    cdir = corpus.write_corpus(corpus.TINY)
+    files = ingest.extract_files(rd.read_parquet(cdir), concurrency=2).materialize()
+    cands = files.map_batches(ingest._explode_imports, batch_format="pyarrow")
+    file_cands = cands.filter(expr="kind == 'file'").select_columns(
+        ["src_key", "stem_key", "kind"]).materialize()
+    stems = files.map_batches(ingest._file_stems, batch_format="pyarrow").materialize()
+
+    def canon(ds):
+        return sorted(map(tuple, ds.to_pandas()[["src_key", "dst_key"]]
+                          .itertuples(index=False)))
+
+    bc = canon(ingest._resolve_stems_broadcast(file_cands, stems))
+    jn = canon(ingest._resolve_stems_join(file_cands, stems, 4))
+    assert len(bc) > 0
+    assert bc == jn
