@@ -105,4 +105,10 @@ def oracle_sql() -> dict[str, str]:
         out.update(_events.ORACLES)
     except ImportError:
         pass
+    try:
+        from planar_ray.pipelines import multimodal as _mm
+
+        out.update(_mm.ORACLES)
+    except ImportError:
+        pass
     return out

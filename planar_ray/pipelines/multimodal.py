@@ -183,9 +183,184 @@ def q_mm_resize(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# Driver-contract variants + SQL oracles.
+#
+# The stage outputs above are the realistic shapes (list<float64> feature
+# columns, binary payloads); the driver's oracle compare hashes scalar
+# columns, so the registered queries flatten lists to long format and
+# hex-encode binaries. The oracles replicate the whole computation in
+# DuckDB: payload bytes via hex(encode(text)) (high nibble = first hex
+# digit of each byte), the 16x8 projection weights embedded as literals
+# (the g2_gnn oracle pattern), np.round's half-to-even replicated for the
+# resize byte quantisation.
+# ---------------------------------------------------------------------------
+
+
+def q_mm_features_flat(sf_dir: str) -> pa.Table:
+    tab = q_mm_features(sf_dir)
+    n = FEATURE_DIM
+    doc = np.repeat(tab["doc_id"].to_numpy(), n)
+    nb = np.repeat(tab["n_bytes"].to_numpy(), n)
+    dim = np.tile(np.arange(n, dtype=np.int64), len(tab))
+    val = np.asarray(tab["feature"].to_pylist(), dtype=np.float64).reshape(-1)
+    return pa.table({
+        "doc_id": pa.array(doc, pa.int64()),
+        "n_bytes": pa.array(nb, pa.int64()),
+        "dim": pa.array(dim),
+        "value": pa.array(val),
+    })
+
+
+def q_mm_frame_sample_flat(sf_dir: str) -> pa.Table:
+    tab = q_mm_frame_sample(sf_dir)
+    n = FEATURE_DIM
+    doc = np.repeat(tab["doc_id"].to_numpy(), n)
+    fi = np.repeat(tab["frame_idx"].to_numpy(), n)
+    dim = np.tile(np.arange(n, dtype=np.int64), len(tab))
+    val = np.asarray(tab["feature"].to_pylist(), dtype=np.float64).reshape(-1)
+    return pa.table({
+        "doc_id": pa.array(doc, pa.int64()),
+        "frame_idx": pa.array(fi, pa.int64()),
+        "dim": pa.array(dim),
+        "value": pa.array(val),
+    })
+
+
+def q_mm_resize_hex(sf_dir: str) -> pa.Table:
+    tab = q_mm_resize(sf_dir)
+    hexed = [p.hex().upper() for p in tab["resized"].to_pylist()]
+    return pa.table({
+        "doc_id": tab["doc_id"],
+        "resized_hex": pa.array(hexed, pa.string()),
+        "n_bytes": tab["n_bytes"],
+    })
+
+
+def _weights_values_sql() -> str:
+    rng = np.random.default_rng(31)
+    w = rng.standard_normal((HIST_BINS, FEATURE_DIM))
+    rows = ", ".join(
+        f"({k}, {j}, {w[k, j]!r})"
+        for k in range(HIST_BINS) for j in range(FEATURE_DIM)
+    )
+    return f"(VALUES {rows}) AS w(k, j, wt)"
+
+
+# shared prefix: per-doc payload bytes as hex, high nibble per byte
+_SQL_NIB_PREFIX = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, hex(encode(text)) AS h,
+         (length(hex(encode(text))) // 2)::BIGINT AS n
+  FROM documents
+),
+pos AS (SELECT doc_id, h, n, unnest(range(1, n + 1)) AS i FROM d),
+nib AS (
+  SELECT doc_id, CAST('0x' || substr(h, (2*i - 1)::INT, 1) AS INTEGER) AS hi
+  FROM pos
+),
+hist AS (SELECT doc_id, hi, COUNT(*)::DOUBLE AS c FROM nib GROUP BY doc_id, hi)
+"""
+
+
+def _mm_features_sql() -> str:
+    return (_SQL_NIB_PREFIX + f"""
+, sig AS (
+  SELECT d.doc_id, d.n, gk.k,
+         CASE WHEN d.n = 0 THEN 0.0
+              ELSE COALESCE(hist.c, 0) / d.n::DOUBLE END AS s
+  FROM d CROSS JOIN (SELECT unnest(range(0, {HIST_BINS}))::INT AS k) gk
+  LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.hi = gk.k
+)
+SELECT sig.doc_id, sig.n AS n_bytes, w.j::BIGINT AS dim,
+       round(SUM(sig.s * w.wt), 6) AS value
+FROM sig JOIN {_weights_values_sql()} ON w.k = sig.k
+GROUP BY sig.doc_id, sig.n, w.j
+ORDER BY doc_id, dim
+""")
+
+
+def _mm_frame_sample_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, hex(encode(text)) AS h,
+         (length(hex(encode(text))) // 2)::BIGINT AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, h, n,
+         unnest(range(0, greatest(n // {FRAME_BYTES}, 1), {FRAME_STRIDE})) AS f
+  FROM d
+),
+chunks AS (
+  SELECT doc_id, f, h,
+         least((f + 1) * {FRAME_BYTES}, n) - f * {FRAME_BYTES} AS clen
+  FROM fr
+),
+pos AS (
+  SELECT doc_id, f, h,
+         unnest(range(f * {FRAME_BYTES} + 1, f * {FRAME_BYTES} + clen + 1)) AS i
+  FROM chunks
+),
+nib AS (
+  SELECT doc_id, f,
+         CAST('0x' || substr(h, (2*i - 1)::INT, 1) AS INTEGER) AS hi
+  FROM pos
+),
+hist AS (SELECT doc_id, f, hi, COUNT(*)::DOUBLE AS c FROM nib GROUP BY ALL),
+sig AS (
+  SELECT ch.doc_id, ch.f, ch.clen, gk.k,
+         CASE WHEN ch.clen = 0 THEN 0.0
+              ELSE COALESCE(hist.c, 0) / ch.clen::DOUBLE END AS s
+  FROM chunks ch CROSS JOIN (SELECT unnest(range(0, {HIST_BINS}))::INT AS k) gk
+  LEFT JOIN hist ON hist.doc_id = ch.doc_id AND hist.f = ch.f
+                AND hist.hi = gk.k
+)
+SELECT sig.doc_id, sig.f::BIGINT AS frame_idx, w.j::BIGINT AS dim,
+       round(SUM(sig.s * w.wt), 6) AS value
+FROM sig JOIN {_weights_values_sql()} ON w.k = sig.k
+GROUP BY sig.doc_id, sig.f, w.j
+ORDER BY doc_id, frame_idx, dim
+"""
+
+
+def _mm_resize_sql() -> str:
+    # np.round is half-to-even: the ELSE branch adds floor%2 on exact .5
+    return (_SQL_NIB_PREFIX + f"""
+, sig AS (
+  SELECT d.doc_id, d.n, gk.k,
+         CASE WHEN d.n = 0 THEN 0.0
+              ELSE COALESCE(hist.c, 0) / d.n::DOUBLE END AS s
+  FROM d CROSS JOIN (SELECT unnest(range(0, {HIST_BINS}))::INT AS k) gk
+  LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.hi = gk.k
+),
+pool AS (
+  SELECT doc_id, k // 2 AS ob,
+         (MAX(CASE WHEN k % 2 = 0 THEN s END)
+          + MAX(CASE WHEN k % 2 = 1 THEN s END)) / 2 * 255 AS x
+  FROM sig GROUP BY doc_id, k // 2
+),
+byt AS (
+  SELECT doc_id, ob,
+         CASE WHEN x - floor(x) > 0.5 THEN floor(x) + 1
+              WHEN x - floor(x) < 0.5 THEN floor(x)
+              ELSE floor(x) + (floor(x)::BIGINT % 2) END::BIGINT AS v
+  FROM pool
+)
+SELECT doc_id,
+       string_agg(lpad(hex(v), 2, '0'), '' ORDER BY ob) AS resized_hex,
+       {HIST_BINS // 2}::BIGINT AS n_bytes
+FROM byt GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 QUERIES = {
-    "mm_features": q_mm_features,
-    "mm_frame_sample": q_mm_frame_sample,
-    "mm_resize": q_mm_resize,
+    "mm_features": q_mm_features_flat,
+    "mm_frame_sample": q_mm_frame_sample_flat,
+    "mm_resize": q_mm_resize_hex,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "mm_features": _mm_features_sql(),
+    "mm_frame_sample": _mm_frame_sample_sql(),
+    "mm_resize": _mm_resize_sql(),
+}

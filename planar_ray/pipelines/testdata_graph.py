@@ -227,6 +227,46 @@ def q_g2_wcc(sf_dir: str) -> pa.Table:
     )
 
 
+def q_g2_wcc_contract(sf_dir: str) -> pa.Table:
+    """Contracting WCC (supervertex contraction every 2 supersteps —
+    the K9/K15 edge-mutation path, reference wcc_app_op.h Contract):
+    identical fixpoint labels, shares SQL_G2_WCC."""
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = wcc(g, contract_every=2)
+    vals = state.select_columns(["v", "val"])
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withc = _attach_key(withv, iddict, "val", "ckey")
+    tab = withc.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "component": pa.array(_format_keys_p(tab["ckey"].to_numpy())),
+        }
+    )
+
+
+def q_g2_wcc_narrow(sf_dir: str) -> pa.Table:
+    """Narrow vertex-state WCC (labels stored uint16/uint32, reference
+    core/common/types.h VertexData variants): bit-identical labels,
+    shares SQL_G2_WCC."""
+    g, iddict = _build(sf_dir, "g2")
+    state, _eng = wcc(g, narrow=True)
+    vals = state.select_columns(["v", "val"]).map_batches(
+        lambda t: pa.table({"v": t["v"],
+                            "val": pc.cast(t["val"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    withv = _attach_key(vals, iddict, "v", "vkey")
+    withc = _attach_key(withv, iddict, "val", "ckey")
+    tab = withc.to_pandas()
+    return pa.table(
+        {
+            "node_key": pa.array(_format_keys_p(tab["vkey"].to_numpy())),
+            "component": pa.array(_format_keys_p(tab["ckey"].to_numpy())),
+        }
+    )
+
+
 def q_g2_wcc_asp(sf_dir: str) -> pa.Table:
     """ASP-mode WCC (local fixpoint per partition per superstep,
     kernels/wcc.AspWCCKernel) — converges to the same labels as q_g2_wcc
@@ -848,6 +888,8 @@ QUERIES = {
     "g2_wcc_precomp": q_g2_wcc_precomp,
     "g2_wcc_asp": q_g2_wcc_asp,
     "g2_sssp_asp": q_g2_sssp_asp,
+    "g2_wcc_contract": q_g2_wcc_contract,
+    "g2_wcc_narrow": q_g2_wcc_narrow,
 }
 
 ORACLES = {
@@ -867,4 +909,6 @@ ORACLES = {
     "g2_wcc_precomp": SQL_G2_WCC,  # same fixpoint as plain WCC
     "g2_wcc_asp": SQL_G2_WCC,     # ASP: identical fixpoint labels
     "g2_sssp_asp": SQL_G2_SSSP,   # ASP: identical converged distances
+    "g2_wcc_contract": SQL_G2_WCC,  # contraction: identical fixpoint labels
+    "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
 }
