@@ -128,32 +128,25 @@ def hash_bucket_join(
         [(n, types[n]) for n in lnames] + [(n, rtypes[n]) for n in out_r_cols]
     )
 
+    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+
     def merge(group: pa.Table) -> pa.Table:
-        # split sides while still Arrow: each side's own columns are
-        # non-null there, so int64 keys/values never pass through pandas
-        # float64 (which silently loses precision above 2^53 — e.g.
-        # triangle pair keys y*V+z and MST ekeys at large V)
+        # split sides while still Arrow and join with Arrow's hash join:
+        # no pandas transit, so (a) int64 keys/values never pass through
+        # float64 (silent precision loss above 2^53 — e.g. triangle pair
+        # keys y*V+z and MST ekeys at large V), (b) outer-join nulls stay
+        # typed nullable int64 instead of widening to float, and (c) keys
+        # with embedded NUL bytes hash on their full buffers (pandas'
+        # string hash table compares C strings and truncates at NUL).
         import pyarrow.compute as pc
         lmask = pc.equal(group["__side"], "l")
-        gl = group.filter(lmask).select(lnames).to_pandas()
-        gr = group.filter(pc.invert(lmask)).select(rnames).to_pandas()
-        if right_on != left_on:
-            gr = gr.rename(columns={right_on: left_on})
+        gl = group.filter(lmask).select(lnames).combine_chunks()
+        gr = group.filter(pc.invert(lmask)).select(rnames).combine_chunks()
+        merged = gl.join(gr, keys=[left_on], right_keys=[right_on],
+                         join_type=arrow_how)
         # no row-order sort: row order inside a block is not semantic —
         # every consumer either aggregates or sorts on its own keys
-        merged = gl.merge(gr, on=left_on, how=how, sort=False)
-        # per-column Arrow conversion AT THE DECLARED TYPE: an outer join
-        # puts NaN into int columns and pandas widens them to float64 —
-        # ``from_pandas=True`` maps NaN -> null so EVERY bucket emits the
-        # same (nullable int64) schema, instead of some buckets falling
-        # back to inferred float schemas (mixed block schemas downstream).
-        # pa.table() attaches no pandas metadata, so schema hashing works.
-        return pa.table(
-            {n: pa.array(merged[n], type=out_schema.field(n).type,
-                         from_pandas=True)
-             for n in lnames + out_r_cols},
-            schema=out_schema,
-        )
+        return merged.select(lnames + out_r_cols).cast(out_schema)
 
     # materialize + coalesce the tagged union BEFORE the sort shuffle —
     # the sort's sampling pass re-executes a lazy upstream map, and its

@@ -43,6 +43,9 @@ class ColoringKernel(Kernel):
         "changed": pa.int64(),
         "in_msgs": pa.int64(),
     }
+    @property
+    def message_columns(self):
+        return ["val"]
 
     def init_cols(self, part, begin, end, csr: CSRPart):
         n = end - begin

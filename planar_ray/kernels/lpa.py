@@ -30,6 +30,9 @@ class LPAKernel(Kernel):
         "changed": pa.int64(),
         "in_msgs": pa.int64(),
     }
+    @property
+    def message_columns(self):
+        return ["val", "mcnt"]
 
     def __init__(self, value_type: pa.DataType | None = None):
         # narrow label variant — see WCCKernel / superstep.narrow_vertex_type

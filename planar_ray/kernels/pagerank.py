@@ -48,6 +48,12 @@ class PageRankKernel(Kernel):
         self.tol = tol
         self.fixed_iters = fixed_iters  # exact superstep count (oracle parity)
 
+    # wire format: messages carry only the rank partial; global rows only
+    # the dangling mass (the full state schema tripled plasma traffic)
+    @property
+    def message_columns(self) -> list:
+        return ["val", "gdangling"]
+
     def init_cols(self, part, begin, end, csr: CSRPart):
         n = end - begin
         v = np.arange(begin, end, dtype=np.int64)
@@ -61,7 +67,9 @@ class PageRankKernel(Kernel):
         deg = cols["deg"]
         return {"gdangling": float(cols["val"][deg == 0].sum())}
 
-    def scatter(self, csr: CSRPart, v, cols):
+    def scatter_raw(self, csr: CSRPart, v, cols):
+        # direct mode without a plan: raw (target, partial) pairs; the
+        # engine combines per destination partition (dense bincount)
         deg = cols["deg"]
         val = cols["val"]
         nz = deg > 0
@@ -69,7 +77,25 @@ class PageRankKernel(Kernel):
             return None
         counts, nbrs = csr.neighbors_flat(v[nz])
         contrib = np.repeat(val[nz] / deg[nz], counts)
-        t, s = combine_sum(nbrs, contrib)
+        return {"v": nbrs, "val": contrib}
+
+    def edge_partials(self, csr: CSRPart, v, cols):
+        # static-scatter form (every CSR edge carries rank/deg of its
+        # source every superstep) — enables the precomputed exchange
+        # plan; one value per csr.indices entry, in CSR order
+        rate = np.zeros(csr.end - csr.begin)
+        deg = cols["deg"]
+        rate[v - csr.begin] = np.where(
+            deg > 0, cols["val"] / np.maximum(deg, 1), 0.0)
+        return np.repeat(rate, np.diff(csr.indptr))
+
+    def scatter(self, csr: CSRPart, v, cols):
+        # dataset mode keeps the pre-combined form (shuffle volume)
+        out = self.scatter_raw(csr, v, cols)
+        if out is None:
+            return None
+        t, s = combine_sum(out["v"], out["val"],
+                           num_targets=self._num_vertices)
         return {"v": t, "val": s}
 
     def apply(self, begin, end, state, msgs, ctx):
@@ -79,14 +105,17 @@ class PageRankKernel(Kernel):
         v = state["v"]
         deg = state["deg"]
         old = state["val"]
-        # deterministic dense message sum over the range (sorted before reduce)
-        msum = np.zeros(n)
-        if len(msgs["v"]):
-            order = np.lexsort((msgs["val"], msgs["v"]))
-            mv, mw = msgs["v"][order], msgs["val"][order]
-            np.add.at(msum, mv - begin, mw)
-        in_msgs = np.bincount((msgs["v"] - begin).astype(np.int64),
-                              minlength=n).astype(np.int64)
+        # dense message sum over the range: pre-reduced (dval, dcnt)
+        # vectors when the exchange plan delivered dense (see
+        # _direct_scatter), else one bincount pass over message rows
+        dm = ctx.get("dense_msgs")
+        if dm is not None:
+            msum, in_msgs = dm
+        else:
+            loc = (msgs["v"] - begin).astype(np.int64)
+            msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
+                if len(loc) else np.zeros(n)
+            in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
         gp = ctx.get("global_partials") or {}
         dangling_prev = float(
             gp.get("gdangling", ctx["globals"].get("dangling_mass") or 0.0)
@@ -125,6 +154,10 @@ class ReferencePageRankKernel(Kernel):
         self.iters = iters
         self._fwd_degrees = None  # set by pagerank_reference()
 
+    @property
+    def message_columns(self) -> list:
+        return ["val"]
+
     def init_cols(self, part, begin, end, csr: CSRPart):
         # csr here is the REV csr; fwd out-degree comes via a degree map
         n = end - begin
@@ -142,20 +175,33 @@ class ReferencePageRankKernel(Kernel):
         if len(nbrs) == 0:
             return None
         contrib = np.repeat(cols["val"], counts)
-        t, s = combine_sum(nbrs, contrib)
+        t, s = combine_sum(nbrs, contrib, num_targets=self._num_vertices)
         return {"v": t, "val": s}
+
+    def scatter_raw(self, csr: CSRPart, v, cols):
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        return {"v": nbrs, "val": np.repeat(cols["val"], counts)}
+
+    def edge_partials(self, csr: CSRPart, v, cols):
+        rate = np.zeros(csr.end - csr.begin)
+        rate[v - csr.begin] = cols["val"]
+        return np.repeat(rate, np.diff(csr.indptr))
 
     def apply(self, begin, end, state, msgs, ctx):
         n = end - begin
         v = state["v"]
         deg = state["deg"]
         old = state["val"]
-        msum = np.zeros(n)
-        if len(msgs["v"]):
-            order = np.lexsort((msgs["val"], msgs["v"]))
-            mv, mw = msgs["v"][order], msgs["val"][order]
-            np.add.at(msum, mv - begin, mw)
-        in_msgs = np.bincount(msgs["v"] - begin, minlength=n).astype(np.int64)
+        dm = ctx.get("dense_msgs")
+        if dm is not None:
+            msum, in_msgs = dm
+        else:
+            loc = (msgs["v"] - begin).astype(np.int64)
+            msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
+                if len(loc) else np.zeros(n)
+            in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
         val = np.where(deg > 0, 0.85 * msum[v - begin] / np.maximum(deg, 1), old)
         return {"v": v, "val": val, "deg": deg, "delta": np.abs(val - old),
                 "in_msgs": in_msgs}

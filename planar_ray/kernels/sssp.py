@@ -26,6 +26,9 @@ class SSSPKernel(Kernel):
         "changed": pa.int64(),
         "in_msgs": pa.int64(),
     }
+    @property
+    def message_columns(self):
+        return ["val"]
 
     def __init__(self, source: int, direction: str = "fwd"):
         self.source = source

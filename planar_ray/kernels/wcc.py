@@ -30,6 +30,10 @@ class WCCKernel(Kernel):
         "changed": pa.int64(),
         "in_msgs": pa.int64(),
     }
+    # wire format: only the label partial rides in messages
+    @property
+    def message_columns(self):
+        return ["val"]
 
     def __init__(self, value_type: pa.DataType | None = None):
         # narrow label variant (reference core/common/types.h:25-28

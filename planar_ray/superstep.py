@@ -163,6 +163,35 @@ class Kernel:
                 data[name] = pa.nulls(n, typ)
         return pa.table(data, schema=self.schema())
 
+    # columns that actually ride in message/global rows (direct mode
+    # ships ONLY these — message tables otherwise carry every state
+    # column as nulls, tripling per-superstep plasma traffic; kernels
+    # override to slim their wire format)
+    @property
+    def message_columns(self) -> list:
+        return list(self.columns)
+
+    def message_schema(self) -> pa.Schema:
+        return pa.schema(
+            [("v", pa.int64()), ("role", pa.int8())]
+            + [(n, self.columns[n]) for n in self.message_columns]
+        )
+
+    def msg_rows(self, v, role: int, cols: dict) -> pa.Table:
+        n = len(v)
+        data = {"v": pa.array(np.asarray(v, dtype=np.int64)),
+                "role": pa.array(np.full(n, role, dtype=np.int8))}
+        for name in self.message_columns:
+            typ = self.columns[name]
+            if name in cols:
+                data[name] = pa.array(np.asarray(cols[name])).cast(typ)
+            else:
+                data[name] = pa.nulls(n, typ)
+        return pa.table(data, schema=self.message_schema())
+
+    def empty_msg_table(self) -> pa.Table:
+        return self.message_schema().empty_table()
+
 
 def narrow_vertex_type(num_vertices: int) -> pa.DataType:
     """Narrowest unsigned Arrow type that holds any vertex id / label —
@@ -177,20 +206,44 @@ def narrow_vertex_type(num_vertices: int) -> pa.DataType:
     return pa.int64()
 
 
-def combine_sum(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic grouped sum: sort by (target, val) then reduce."""
-    order = np.lexsort((vals, targets))
+# dense-bincount gate for combine_sum: a float64 accumulator over the
+# whole id space; 32M ids = 256 MB per task — beyond that, sort-based
+DENSE_SUM_MAX_IDS = 33_554_432
+
+
+def combine_sum(targets: np.ndarray, vals: np.ndarray,
+                num_targets: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped sum of float partials, deterministic for a fixed input
+    order (a partitioned graph's CSR order — parallelism-invariant).
+
+    With ``num_targets`` under the dense gate: one-pass ``np.bincount``
+    (measured 10x the lexsort this replaced). Otherwise: single-key
+    stable sort + ``add.reduceat`` (2.8x). Sums accumulate in input
+    order rather than a value-canonical order, so results across
+    *different partitionings* agree to float ulp, not bitwise —
+    well inside every consumer's 1e-9/round-6 tolerance.
+    """
+    if len(targets) == 0:
+        return targets, vals
+    if num_targets is not None and num_targets <= DENSE_SUM_MAX_IDS:
+        s = np.bincount(targets, weights=vals, minlength=num_targets)
+        uniq = np.flatnonzero(s)
+        return uniq, s[uniq]
+    order = np.argsort(targets, kind="stable")
     t, v = targets[order], vals[order]
     uniq, starts = np.unique(t, return_index=True)
-    sums = np.add.reduceat(v, starts) if len(v) else np.empty(0, v.dtype)
-    return uniq, sums
+    return uniq, np.add.reduceat(v, starts)
 
 
 def combine_min(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    order = np.lexsort((vals, targets))
+    # min is order-independent (exact), so a single-key stable sort +
+    # minimum.reduceat replaces the two-key lexsort (2.8x measured)
+    if len(targets) == 0:
+        return targets, vals
+    order = np.argsort(targets, kind="stable")
     t, v = targets[order], vals[order]
     uniq, starts = np.unique(t, return_index=True)
-    return uniq, v[starts]  # sorted by val within target -> first = min
+    return uniq, np.minimum.reduceat(v, starts)
 
 
 def combine_pair_counts(a: np.ndarray, b: np.ndarray, w: np.ndarray | None = None):
@@ -434,8 +487,34 @@ def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int)
 # ---------------------------------------------------------------------------
 
 
+def _build_exchange_plan(csr_arrays, boundaries_list: list):
+    """Static per-partition exchange plan for ``edge_partials`` kernels
+    (computed ONCE per run, pinned in the object store like the CSR):
+    the CSR's flat edge targets sorted by destination partition.
+
+    Per superstep this turns the scatter's split+combine into a single
+    gather + per-destination ``bincount`` over partition-LOCAL int32
+    offsets — no searchsorted, no argsort, no whole-graph temporaries —
+    with each destination's dense accumulator sized to its vertex range
+    (L2-resident), which is what keeps 16-way tasks off the DRAM wall.
+    """
+    csr = CSRPart(*csr_arrays)
+    boundaries = np.array(boundaries_list, dtype=np.int64)
+    P = len(boundaries) - 1
+    idx = csr.indices
+    parts = part_of(idx, boundaries)
+    perm = np.argsort(parts, kind="stable")
+    sp = parts[perm]
+    qcuts = np.searchsorted(sp, np.arange(P + 1)).astype(np.int64)
+    max_range = int((boundaries[1:] - boundaries[:-1]).max()) if P else 0
+    ldt = np.int32 if max_range < 2**31 else np.int64
+    ltgt = (idx[perm] - boundaries[sp]).astype(ldt)
+    pdt = np.int32 if len(idx) < 2**31 else np.int64
+    return perm.astype(pdt), qcuts, ltgt
+
+
 def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
-                    part: int, state_tab: pa.Table):
+                    part: int, state_tab: pa.Table, plan_arrays=None):
     """One partition's state -> P per-destination message tables
     (role-1 pre-combined messages + role-2 global-partial rows).
 
@@ -450,12 +529,6 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
     cols = {n: state_tab[n].to_numpy(zero_copy_only=False)
             for n in k.columns if n in state_tab.column_names}
     gp = k.global_partials(v, cols)
-    if gp:
-        gv = boundaries[:-1]
-        for q in range(P):
-            per_dest[q].append(k.rows(np.array([q]), gv[q:q + 1], ROLE_GLOBAL,
-                                      {n: np.full(1, val)
-                                       for n, val in gp.items()}))
     active = None
     if "active" in k.columns:
         active = cols["active"].astype(bool)
@@ -464,7 +537,67 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
         ccols = (cols if active is None
                  else {n: c[active] for n, c in cols.items()})
         csr = CSRPart(*csr_arrays)
-        out = k.scatter(csr, vv, ccols)
+        ep = getattr(k, "edge_partials", None)
+        raw = getattr(k, "scatter_raw", None)
+        out = None
+        if ep is not None and plan_arrays is not None:
+            # static-scatter kernels + precomputed plan (see
+            # _build_exchange_plan): one gather + per-destination
+            # bincounts over local offsets
+            partials = ep(csr, v, cols)
+            if partials is not None:
+                # DENSE delivery: each destination gets one (sum, count)
+                # vector pair over its own vertex range — no v/role
+                # columns, no flatnonzero, and the apply side does pure
+                # vector adds instead of a bincount over message rows.
+                perm, qcuts, ltgt = plan_arrays
+                vals = partials[perm]
+                # global partials ride as schema metadata on the dense
+                # tables (dense tables can't concat with role-2 rows)
+                meta = ({b"g_" + n.encode(): repr(float(val)).encode()
+                         for n, val in gp.items()} if gp else None)
+                gp = None  # consumed
+                for q in range(P):
+                    lo, hi = int(qcuts[q]), int(qcuts[q + 1])
+                    if lo == hi and meta is None:
+                        continue
+                    b0, b1 = int(boundaries[q]), int(boundaries[q + 1])
+                    s = np.bincount(ltgt[lo:hi], weights=vals[lo:hi],
+                                    minlength=b1 - b0)
+                    c = np.bincount(ltgt[lo:hi],
+                                    minlength=b1 - b0).astype(np.int32)
+                    tab = pa.table({"dval": s, "dcnt": c})
+                    if meta is not None:
+                        tab = tab.replace_schema_metadata(meta)
+                    per_dest[q].append(tab)
+        elif raw is not None:
+            # sum-combining kernels emit RAW (target, partial) pairs and
+            # the split+combine happens per DESTINATION partition with a
+            # dense bincount over that partition's vertex range — a
+            # L2-resident accumulator (~8B x range) instead of a
+            # whole-graph sort or a V-sized array, so 16-way tasks don't
+            # thrash DRAM. Exact-zero sums emit no row (adding zero).
+            out = raw(csr, vv, ccols)
+            if out is not None and len(out["v"]):
+                tgt = out.pop("v")
+                vals = out["val"]
+                parts = part_of(tgt, boundaries)
+                order = np.argsort(parts, kind="stable")
+                tgt, vals, parts = tgt[order], vals[order], parts[order]
+                cuts = np.searchsorted(parts, np.arange(P + 1))
+                for q in range(P):
+                    lo, hi = int(cuts[q]), int(cuts[q + 1])
+                    if lo == hi:
+                        continue
+                    b0, b1 = int(boundaries[q]), int(boundaries[q + 1])
+                    s = np.bincount(tgt[lo:hi] - b0, weights=vals[lo:hi],
+                                    minlength=b1 - b0)
+                    nz = np.flatnonzero(s)
+                    per_dest[q].append(k.msg_rows(nz + b0, ROLE_MSG,
+                                                  {"val": s[nz]}))
+            out = None
+        else:
+            out = k.scatter(csr, vv, ccols)
         if out is not None and len(out["v"]):
             tgt = out.pop("v")
             parts = part_of(tgt, boundaries)
@@ -474,10 +607,17 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
             uniq, starts = np.unique(parts, return_index=True)
             ends = np.concatenate([starts[1:], [len(parts)]])
             for q, s, e in zip(uniq, starts, ends):
-                per_dest[int(q)].append(k.rows(
-                    np.full(e - s, int(q), np.int64), tgt[s:e], ROLE_MSG,
+                per_dest[int(q)].append(k.msg_rows(
+                    tgt[s:e], ROLE_MSG,
                     {n: c[s:e] for n, c in out.items()}))
-    outs = [pa.concat_tables(ts) if ts else k.empty_table() for ts in per_dest]
+    if gp:  # not consumed by the dense branch: ride as role-2 rows
+        gv = boundaries[:-1]
+        for q in range(P):
+            per_dest[q].append(k.msg_rows(gv[q:q + 1], ROLE_GLOBAL,
+                                          {n: np.full(1, val)
+                                           for n, val in gp.items()}))
+    outs = [pa.concat_tables(ts) if ts else k.empty_msg_table()
+            for ts in per_dest]
     return tuple(outs) if P > 1 else outs[0]
 
 
@@ -493,25 +633,53 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
     boundaries = np.array(boundaries_list, dtype=np.int64)
     begin, end = int(boundaries[part]), int(boundaries[part + 1])
     nonempty = [tab for tab in msg_tabs if len(tab)]
-    t = pa.concat_tables(nonempty) if nonempty else k.empty_table()
+    # dense-delivery tables (exchange-plan kernels): one (dval, dcnt)
+    # vector pair per source partition over THIS partition's range —
+    # reduce with vector adds, in fixed partition order (deterministic)
+    dense = [tab for tab in msg_tabs
+             if "dval" in tab.column_names]  # may be zero-row (meta only)
+    if dense:
+        nonempty = [tab for tab in nonempty if "dval" not in tab.column_names]
+        dsum = np.zeros(end - begin)
+        dcnt = np.zeros(end - begin, dtype=np.int64)
+        gpart: dict[str, list] = {}
+        for tab in dense:
+            if len(tab):
+                dsum += tab["dval"].to_numpy(zero_copy_only=False)
+                dcnt += tab["dcnt"].to_numpy(zero_copy_only=False)
+            for mk, mv_ in (tab.schema.metadata or {}).items():
+                if mk.startswith(b"g_"):
+                    gpart.setdefault(mk[2:].decode(), []).append(float(mv_))
+        ctx = dict(ctx)
+        ctx["dense_msgs"] = (dsum, dcnt)
+        if gpart:
+            ctx["global_partials"] = {
+                n: float(np.sort(np.asarray(vs)).sum())
+                for n, vs in gpart.items()}
+    t = pa.concat_tables(nonempty) if nonempty else k.empty_msg_table()
     names = list(k.columns)
+    wire = set(t.column_names)  # slim message schema (Kernel.msg_rows)
     role = t["role"].to_numpy(zero_copy_only=False)
     is_msg = role == ROLE_MSG
     is_gbl = role == ROLE_GLOBAL
     mv = t["v"].to_numpy(zero_copy_only=False)
+    n_msg = int(is_msg.sum())
     state = {"v": state_tab["v"].to_numpy(zero_copy_only=False)}
     msgs = {"v": mv[is_msg]}
     for n in names:
         state[n] = state_tab[n].to_numpy(zero_copy_only=False)
-        c = t[n].to_numpy(zero_copy_only=False)
-        msgs[n] = c[is_msg]
+        if n in wire:
+            msgs[n] = t[n].to_numpy(zero_copy_only=False)[is_msg]
+        else:
+            msgs[n] = np.zeros(n_msg)
     local_ctx = ctx
     if is_gbl.any() or csr_arrays is not None:
         local_ctx = dict(ctx)
     if csr_arrays is not None:
         local_ctx["csr"] = CSRPart(*csr_arrays)
     if is_gbl.any():
-        gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl] for n in names}
+        gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl]
+                 for n in names if n in wire}
         local_ctx["global_partials"] = {
             n: float(np.sort(c.astype(np.float64)).sum()) for n, c in
             gcols.items() if not np.all(np.isnan(c.astype(np.float64)))
@@ -566,6 +734,25 @@ def _write_state_part(run_dir_step: str, part: int, tab: pa.Table) -> int:
     os.makedirs(run_dir_step, exist_ok=True)
     pq.write_table(tab, os.path.join(run_dir_step, f"part-{part:05d}.parquet"))
     return len(tab)
+
+
+_REMOTE_FN_CACHE: dict = {}
+
+
+def _remote_fn(fn, num_returns: int):
+    """Memoised ``ray.remote`` wrapper. Each ``ray.remote(...)`` call
+    creates a fresh RemoteFunction whose definition is re-exported to
+    the cluster and re-imported by every worker on first use — doing
+    that inside ``step_direct`` added a measurable per-superstep driver
+    cost (and grows the GCS function table by 2 entries per step).
+    One wrapper per (function, num_returns) for the process lifetime."""
+    import ray
+
+    key = (fn, num_returns)
+    got = _REMOTE_FN_CACHE.get(key)
+    if got is None:
+        got = _REMOTE_FN_CACHE[key] = ray.remote(num_returns=num_returns)(fn)
+    return got
 
 
 @dataclass
@@ -634,12 +821,22 @@ class Engine:
         self._kernel_ref = ray.put(kernel)
         self._owner_pid = os.getpid()
         self._stats_board = None  # dataset-mode only; created lazily
-        load = ray.remote(num_returns=1)(_load_csr_arrays)
+        load = _remote_fn(_load_csr_arrays, 1)
         self._csr_refs = {
             p: load.remote(graph.root, kernel.direction, p,
                            boundaries[p], boundaries[p + 1])
             for p in range(len(boundaries) - 1)
         }
+        # static exchange plans (see _build_exchange_plan) — only for
+        # kernels that expose per-edge partials (PageRank family)
+        self._plan_refs = None
+        if (getattr(kernel, "edge_partials", None) is not None
+                and not os.environ.get("PLANAR_NO_EXCHANGE_PLAN")):
+            plan = _remote_fn(_build_exchange_plan, 1)
+            self._plan_refs = {
+                p: plan.remote(self._csr_refs[p], boundaries)
+                for p in range(len(boundaries) - 1)
+            }
 
     def close(self) -> None:
         """Release engine resources: kill the stats-board actor and drop
@@ -848,12 +1045,12 @@ class Engine:
 
         P = len(self._apply_boundaries) - 1
         blocks = state.materialize().to_arrow_refs()
-        split = ray.remote(num_returns=P)(_split_state_block)
+        split = _remote_fn(_split_state_block, P)
         outs = [split.remote(self._apply_boundaries, b) for b in blocks]
         if P == 1:
             outs = [[o] for o in outs]
         empty = self.kernel.empty_table()
-        concat = ray.remote(_concat_nonempty)
+        concat = _remote_fn(_concat_nonempty, 1)
         return [concat.remote(empty, *[o[p] for o in outs]) for p in range(P)]
 
     def init_state_direct(self, state: Dataset | None = None) -> None:
@@ -865,7 +1062,7 @@ class Engine:
             row = state.aggregate(*self.kernel.stat_aggs())
             self.globals = {k: (0 if v is None else v) for k, v in row.items()}
             return
-        init = ray.remote(num_returns=2)(_direct_init)
+        init = _remote_fn(_direct_init, 2)
         outs = [init.remote(self.run_id, self._kernel_ref, self._csr_refs[p],
                             self._apply_boundaries, p) for p in range(P)]
         self._state_refs = [o[0] for o in outs]
@@ -877,15 +1074,17 @@ class Engine:
 
         t0 = time.monotonic()
         P = len(self._apply_boundaries) - 1
-        scatter = ray.remote(num_returns=P)(_direct_scatter)
-        apply_ = ray.remote(num_returns=2)(_direct_apply)
+        scatter = _remote_fn(_direct_scatter, P)
+        apply_ = _remote_fn(_direct_apply, 2)
         ctx = {"num_vertices": self.graph.num_vertices,
                "num_edges": self.graph.num_edges,
                "superstep": superstep,
                "globals": dict(self.globals)}
         outs = [scatter.remote(self.run_id, self._kernel_ref,
                                self._csr_refs[p], self._apply_boundaries, p,
-                               self._state_refs[p]) for p in range(P)]
+                               self._state_refs[p],
+                               self._plan_refs[p] if self._plan_refs else None)
+                for p in range(P)]
         if P == 1:
             outs = [[o] for o in outs]
         wants_csr = getattr(self.kernel, "wants_csr", False)
@@ -931,7 +1130,7 @@ class Engine:
         step_dir = os.path.join(self.run_dir, f"step_{superstep:05d}")
         state_dir = os.path.join(step_dir, "state")
         shutil.rmtree(state_dir, ignore_errors=True)
-        w = ray.remote(_write_state_part)
+        w = _remote_fn(_write_state_part, 1)
         ray.get([w.remote(state_dir, p, self._state_refs[p])
                  for p in range(len(self._state_refs))])
         self._checkpoint_manifest(step_dir, superstep, m)
