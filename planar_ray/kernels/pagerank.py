@@ -79,15 +79,15 @@ class PageRankKernel(Kernel):
         contrib = np.repeat(val[nz] / deg[nz], counts)
         return {"v": nbrs, "val": contrib}
 
-    def edge_partials(self, csr: CSRPart, v, cols):
-        # static-scatter form (every CSR edge carries rank/deg of its
-        # source every superstep) — enables the precomputed exchange
-        # plan; one value per csr.indices entry, in CSR order
+    def vertex_rate(self, csr: CSRPart, v, cols):
+        # static-scatter form: the per-vertex value every out-edge
+        # carries this superstep (rank/deg) — enables the precomputed
+        # exchange plan; indexed by local vertex offset
         rate = np.zeros(csr.end - csr.begin)
         deg = cols["deg"]
         rate[v - csr.begin] = np.where(
             deg > 0, cols["val"] / np.maximum(deg, 1), 0.0)
-        return np.repeat(rate, np.diff(csr.indptr))
+        return rate
 
     def scatter(self, csr: CSRPart, v, cols):
         # dataset mode keeps the pre-combined form (shuffle volume)
@@ -106,16 +106,17 @@ class PageRankKernel(Kernel):
         deg = state["deg"]
         old = state["val"]
         # dense message sum over the range: pre-reduced (dval, dcnt)
-        # vectors when the exchange plan delivered dense (see
-        # _direct_scatter), else one bincount pass over message rows
+        # vectors where the exchange plan delivered dense, plus one
+        # bincount pass over any sparse-delivered message rows (the
+        # adaptive wire can mix both in one superstep)
+        loc = (msgs["v"] - begin).astype(np.int64)
+        msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
+            if len(loc) else np.zeros(n)
+        in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
         dm = ctx.get("dense_msgs")
         if dm is not None:
-            msum, in_msgs = dm
-        else:
-            loc = (msgs["v"] - begin).astype(np.int64)
-            msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
-                if len(loc) else np.zeros(n)
-            in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
+            msum = msum + dm[0]
+            in_msgs = in_msgs + dm[1]
         gp = ctx.get("global_partials") or {}
         dangling_prev = float(
             gp.get("gdangling", ctx["globals"].get("dangling_mass") or 0.0)
@@ -184,24 +185,24 @@ class ReferencePageRankKernel(Kernel):
             return None
         return {"v": nbrs, "val": np.repeat(cols["val"], counts)}
 
-    def edge_partials(self, csr: CSRPart, v, cols):
+    def vertex_rate(self, csr: CSRPart, v, cols):
         rate = np.zeros(csr.end - csr.begin)
         rate[v - csr.begin] = cols["val"]
-        return np.repeat(rate, np.diff(csr.indptr))
+        return rate
 
     def apply(self, begin, end, state, msgs, ctx):
         n = end - begin
         v = state["v"]
         deg = state["deg"]
         old = state["val"]
+        loc = (msgs["v"] - begin).astype(np.int64)
+        msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
+            if len(loc) else np.zeros(n)
+        in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
         dm = ctx.get("dense_msgs")
         if dm is not None:
-            msum, in_msgs = dm
-        else:
-            loc = (msgs["v"] - begin).astype(np.int64)
-            msum = np.bincount(loc, weights=msgs["val"], minlength=n) \
-                if len(loc) else np.zeros(n)
-            in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
+            msum = msum + dm[0]
+            in_msgs = in_msgs + dm[1]
         val = np.where(deg > 0, 0.85 * msum[v - begin] / np.maximum(deg, 1), old)
         return {"v": v, "val": val, "deg": deg, "delta": np.abs(val - old),
                 "in_msgs": in_msgs}

@@ -488,15 +488,17 @@ def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int)
 
 
 def _build_exchange_plan(csr_arrays, boundaries_list: list):
-    """Static per-partition exchange plan for ``edge_partials`` kernels
+    """Static per-partition exchange plan for ``vertex_rate`` kernels
     (computed ONCE per run, pinned in the object store like the CSR):
-    the CSR's flat edge targets sorted by destination partition.
+    the CSR's edges sorted by destination partition, each edge stored as
+    (local source offset, local target offset) int32 pairs.
 
-    Per superstep this turns the scatter's split+combine into a single
-    gather + per-destination ``bincount`` over partition-LOCAL int32
-    offsets — no searchsorted, no argsort, no whole-graph temporaries —
-    with each destination's dense accumulator sized to its vertex range
-    (L2-resident), which is what keeps 16-way tasks off the DRAM wall.
+    Per superstep the scatter becomes, per destination: one gather from
+    the partition's V/P-sized per-vertex rate array (cache-resident —
+    NOT an E-sized permutation gather, which random-reads a full cache
+    line per 8-byte value and saturates a node's DRAM long before its
+    cores) + one ``bincount`` into a dense accumulator sized to the
+    destination's vertex range. lsrc/ltgt stream sequentially.
     """
     csr = CSRPart(*csr_arrays)
     boundaries = np.array(boundaries_list, dtype=np.int64)
@@ -509,8 +511,11 @@ def _build_exchange_plan(csr_arrays, boundaries_list: list):
     max_range = int((boundaries[1:] - boundaries[:-1]).max()) if P else 0
     ldt = np.int32 if max_range < 2**31 else np.int64
     ltgt = (idx[perm] - boundaries[sp]).astype(ldt)
-    pdt = np.int32 if len(idx) < 2**31 else np.int64
-    return perm.astype(pdt), qcuts, ltgt
+    n_local = csr.end - csr.begin
+    src_of_edge = np.repeat(np.arange(n_local, dtype=np.int64),
+                            np.diff(csr.indptr))
+    lsrc = src_of_edge[perm].astype(ldt)
+    return lsrc, qcuts, ltgt
 
 
 def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
@@ -529,6 +534,7 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
     cols = {n: state_tab[n].to_numpy(zero_copy_only=False)
             for n in k.columns if n in state_tab.column_names}
     gp = k.global_partials(v, cols)
+    meta_gp = None
     active = None
     if "active" in k.columns:
         active = cols["active"].astype(bool)
@@ -537,39 +543,45 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
         ccols = (cols if active is None
                  else {n: c[active] for n, c in cols.items()})
         csr = CSRPart(*csr_arrays)
-        ep = getattr(k, "edge_partials", None)
+        vr = getattr(k, "vertex_rate", None)
         raw = getattr(k, "scatter_raw", None)
         out = None
-        if ep is not None and plan_arrays is not None:
+        if vr is not None and plan_arrays is not None:
             # static-scatter kernels + precomputed plan (see
-            # _build_exchange_plan): one gather + per-destination
-            # bincounts over local offsets
-            partials = ep(csr, v, cols)
-            if partials is not None:
-                # DENSE delivery: each destination gets one (sum, count)
-                # vector pair over its own vertex range — no v/role
-                # columns, no flatnonzero, and the apply side does pure
-                # vector adds instead of a bincount over message rows.
-                perm, qcuts, ltgt = plan_arrays
-                vals = partials[perm]
-                # global partials ride as schema metadata on the dense
-                # tables (dense tables can't concat with role-2 rows)
-                meta = ({b"g_" + n.encode(): repr(float(val)).encode()
-                         for n, val in gp.items()} if gp else None)
-                gp = None  # consumed
+            # _build_exchange_plan): per-vertex rate gather (the rate
+            # array is V/P-sized, cache-resident) + one bincount per
+            # destination, all over local int32 offsets
+            rate = vr(csr, v, cols)
+            if rate is not None:
+                lsrc, qcuts, ltgt = plan_arrays
+                vals = rate[lsrc]
+                # global partials ride as schema metadata on this
+                # partition's outgoing tables (attached after concat,
+                # read back by _direct_apply from any table)
+                if gp:
+                    meta_gp = {b"g_" + n.encode(): repr(float(v_)).encode()
+                               for n, v_ in gp.items()}
+                    gp = None  # consumed
                 for q in range(P):
                     lo, hi = int(qcuts[q]), int(qcuts[q + 1])
-                    if lo == hi and meta is None:
+                    if lo == hi:
                         continue
                     b0, b1 = int(boundaries[q]), int(boundaries[q + 1])
                     s = np.bincount(ltgt[lo:hi], weights=vals[lo:hi],
                                     minlength=b1 - b0)
                     c = np.bincount(ltgt[lo:hi],
                                     minlength=b1 - b0).astype(np.int32)
-                    tab = pa.table({"dval": s, "dcnt": c})
-                    if meta is not None:
-                        tab = tab.replace_schema_metadata(meta)
-                    per_dest[q].append(tab)
+                    # adaptive wire format: dense (sum, count) vectors at
+                    # 12 B/slot when the destination range is mostly hit,
+                    # pre-combined rows at ~20 B/row when sparse — at web
+                    # scale (P^2 >> E/V) pairs are sparse and rows win;
+                    # on mid-size graphs dense skips the apply bincount
+                    nz = np.flatnonzero(c)
+                    if len(nz) * 5 >= (b1 - b0) * 3:
+                        per_dest[q].append(pa.table({"dval": s, "dcnt": c}))
+                    else:
+                        per_dest[q].append(
+                            k.msg_rows(nz + b0, ROLE_MSG, {"val": s[nz]}))
         elif raw is not None:
             # sum-combining kernels emit RAW (target, partial) pairs and
             # the split+combine happens per DESTINATION partition with a
@@ -610,7 +622,7 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                 per_dest[int(q)].append(k.msg_rows(
                     tgt[s:e], ROLE_MSG,
                     {n: c[s:e] for n, c in out.items()}))
-    if gp:  # not consumed by the dense branch: ride as role-2 rows
+    if gp:  # not consumed by the plan branch: ride as role-2 rows
         gv = boundaries[:-1]
         for q in range(P):
             per_dest[q].append(k.msg_rows(gv[q:q + 1], ROLE_GLOBAL,
@@ -618,6 +630,8 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                                            for n, val in gp.items()}))
     outs = [pa.concat_tables(ts) if ts else k.empty_msg_table()
             for ts in per_dest]
+    if meta_gp is not None:
+        outs = [o.replace_schema_metadata(meta_gp) for o in outs]
     return tuple(outs) if P > 1 else outs[0]
 
 
@@ -636,26 +650,27 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
     # dense-delivery tables (exchange-plan kernels): one (dval, dcnt)
     # vector pair per source partition over THIS partition's range —
     # reduce with vector adds, in fixed partition order (deterministic)
-    dense = [tab for tab in msg_tabs
-             if "dval" in tab.column_names]  # may be zero-row (meta only)
+    # global partials ride as g_* schema metadata on plan-mode tables
+    gpart: dict[str, list] = {}
+    for tab in msg_tabs:
+        for mk, mv_ in (tab.schema.metadata or {}).items():
+            if mk.startswith(b"g_"):
+                gpart.setdefault(mk[2:].decode(), []).append(float(mv_))
+    dense = [tab for tab in nonempty if "dval" in tab.column_names]
+    if dense or gpart:
+        ctx = dict(ctx)
     if dense:
         nonempty = [tab for tab in nonempty if "dval" not in tab.column_names]
         dsum = np.zeros(end - begin)
         dcnt = np.zeros(end - begin, dtype=np.int64)
-        gpart: dict[str, list] = {}
         for tab in dense:
-            if len(tab):
-                dsum += tab["dval"].to_numpy(zero_copy_only=False)
-                dcnt += tab["dcnt"].to_numpy(zero_copy_only=False)
-            for mk, mv_ in (tab.schema.metadata or {}).items():
-                if mk.startswith(b"g_"):
-                    gpart.setdefault(mk[2:].decode(), []).append(float(mv_))
-        ctx = dict(ctx)
+            dsum += tab["dval"].to_numpy(zero_copy_only=False)
+            dcnt += tab["dcnt"].to_numpy(zero_copy_only=False)
         ctx["dense_msgs"] = (dsum, dcnt)
-        if gpart:
-            ctx["global_partials"] = {
-                n: float(np.sort(np.asarray(vs)).sum())
-                for n, vs in gpart.items()}
+    if gpart:
+        ctx["global_partials"] = {
+            n: float(np.sort(np.asarray(vs)).sum())
+            for n, vs in gpart.items()}
     t = pa.concat_tables(nonempty) if nonempty else k.empty_msg_table()
     names = list(k.columns)
     wire = set(t.column_names)  # slim message schema (Kernel.msg_rows)
@@ -680,10 +695,12 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
     if is_gbl.any():
         gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl]
                  for n in names if n in wire}
-        local_ctx["global_partials"] = {
-            n: float(np.sort(c.astype(np.float64)).sum()) for n, c in
-            gcols.items() if not np.all(np.isnan(c.astype(np.float64)))
-        }
+        merged = dict(local_ctx.get("global_partials") or {})  # metadata-borne
+        for n, c in gcols.items():
+            c = c.astype(np.float64)
+            if not np.all(np.isnan(c)):
+                merged[n] = merged.get(n, 0.0) + float(np.sort(c).sum())
+        local_ctx["global_partials"] = merged
     new = k.apply(begin, end, state, msgs, local_ctx)
     v_new = new.pop("v")
     stats = k.local_stats(new)
@@ -828,9 +845,9 @@ class Engine:
             for p in range(len(boundaries) - 1)
         }
         # static exchange plans (see _build_exchange_plan) — only for
-        # kernels that expose per-edge partials (PageRank family)
+        # kernels that expose a per-vertex rate (PageRank family)
         self._plan_refs = None
-        if (getattr(kernel, "edge_partials", None) is not None
+        if (getattr(kernel, "vertex_rate", None) is not None
                 and not os.environ.get("PLANAR_NO_EXCHANGE_PLAN")):
             plan = _remote_fn(_build_exchange_plan, 1)
             self._plan_refs = {

@@ -481,3 +481,42 @@ def test_resolve_stems_broadcast_plan_equals_join_plan(ray_session, tmp_root):
     jn = canon(ingest._resolve_stems_join(file_cands, stems, 4))
     assert len(bc) > 0
     assert bc == jn
+
+
+def test_adaptive_wire_sparse_rows_match_dense_and_noplan(
+        ray_session, tmp_root, monkeypatch):
+    """The exchange plan's adaptive wire (superstep._direct_scatter):
+    sparse (src, dst)-partition pairs ship pre-combined rows, dense
+    pairs ship (dval, dcnt) vectors. A low-density graph (many vertices,
+    few edges -> rows everywhere) and a denser one must both match the
+    no-plan raw path bit-for-bit in superstep count and 1e-12 in values.
+    """
+    import ray.data as rd
+
+    from planar_ray import graph as G
+    from planar_ray.graph import derive_direction
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.superstep import Engine
+
+    rng = np.random.default_rng(11)
+    # V=4000, E=3000: per-(p,q) density ~0.17 -> the rows arm fires
+    E = rng.integers(0, 4000, size=(3000, 2)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]}))
+    g = G.graph_from_id_edges(ds, f"{tmp_root}/adaptive_sparse", num_parts=4)
+    derive_direction(g, "sym")
+
+    e1 = Engine(g, PageRankKernel())
+    assert e1._plan_refs is not None  # plan mode active
+    d1 = e1.run(max_supersteps=30).to_pandas().sort_values("v")
+
+    monkeypatch.setenv("PLANAR_NO_EXCHANGE_PLAN", "1")
+    e2 = Engine(g, PageRankKernel())
+    assert e2._plan_refs is None
+    d2 = e2.run(max_supersteps=30).to_pandas().sort_values("v")
+    monkeypatch.delenv("PLANAR_NO_EXCHANGE_PLAN")
+
+    assert len(e1.metrics) == len(e2.metrics)
+    assert np.allclose(d1["val"].to_numpy(), d2["val"].to_numpy(), atol=1e-12)
+    assert d1["in_msgs"].sum() > 0
+    e1.close()
+    e2.close()
