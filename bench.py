@@ -11,7 +11,7 @@ line::
    "pagerank": {"supersteps": n, "edges_per_sec_per_superstep": r}}
 
 ``--scaling``: runs the same PageRank job on the same deterministic
-Zipf edge table (PLANAR_SCALING_EDGES, default 16M edges) in two fresh
+Zipf edge table (PLANAR_SCALING_EDGES, default 256M edges) in two fresh
 processes at N and 4N CPUs (PLANAR_SCALING_N, default 4 -> 4 vs 16) and
 reports both throughputs + scaling efficiency, appending the result to
 BENCH/BASELINE.md. A sandbox substitute for two cluster sizes per
@@ -226,7 +226,7 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     import ray
 
-    store = int(float(os.environ.get("PLANAR_SCALING_STORE_GB", "8")) * 1e9)
+    store = int(float(os.environ.get("PLANAR_SCALING_STORE_GB", "24")) * 1e9)
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=store)
@@ -242,19 +242,19 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
     eng = Engine(g, PageRankKernel(fixed_iters=10_000), stats_every=100)
     eng.init_state_direct()
     for s in range(6):  # warm: CSR + plasma arena pages + worker caches
-        eng.step_direct(s, with_stats=False)
+        eng.step_fused(s, with_stats=False)
     barrier(eng)
     # this box is multi-tenant with bursty hypervisor steal (identical
     # back-to-back runs swing 2-3x): time 5 barriered batches of 4
     # supersteps and score the FASTEST batch — the batch least hit by
     # steal — the same way at both parallelism levels
-    n_batches, batch = 5, 4
+    n_batches, batch = 6, 4
     batch_secs = []
     s = 6
     for _ in range(n_batches):
         t0 = time.monotonic()
         for _ in range(batch):
-            eng.step_direct(s, with_stats=False)
+            eng.step_fused(s, with_stats=False)
             s += 1
         barrier(eng)
         batch_secs.append(time.monotonic() - t0)
@@ -277,7 +277,7 @@ def run_scaling() -> dict:
     # the fixed per-superstep cost at BOTH levels (the engine's dense
     # exchange is ~8x faster than round 2, so 16M-edge steps finish in
     # ~0.2 s and measure mostly task latency, not scaling)
-    edges = int(os.environ.get("PLANAR_SCALING_EDGES", "128000000"))
+    edges = int(os.environ.get("PLANAR_SCALING_EDGES", "256000000"))
 
     def child(ncpu: int, mode: str = "--scaling-child") -> dict:
         out = subprocess.run(
@@ -294,7 +294,7 @@ def run_scaling() -> dict:
     # pairs back-to-back so both levels see the same noise regime, and
     # report every pair plus the best one
     pairs = []
-    for i in range(int(os.environ.get("PLANAR_SCALING_PAIRS", "3"))):
+    for i in range(int(os.environ.get("PLANAR_SCALING_PAIRS", "2"))):
         lo = child(n)
         _eprint(f"scaling lo[{i}]:", lo)
         hi = child(4 * n)

@@ -720,6 +720,31 @@ def _direct_init(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
             k.local_stats(cols))
 
 
+def _direct_fused(run_id: str, kernel: Kernel, boundaries_list: list,
+                  ctx: dict, part: int, csr_arrays, plan_arrays,
+                  state_tab: pa.Table, *msg_tabs: pa.Table):
+    """Pregel-style fused compute wave: apply the previous superstep's
+    inbound messages to this partition's state, then immediately scatter
+    the next superstep's outbound messages from the fresh state — ONE
+    task wave per superstep instead of scatter+apply's two. This halves
+    the per-superstep scheduling depth AND replaces two straggler maxes
+    (max(scatter) + max(apply), each a full barrier in the DAG) with one
+    max over the fused sum, and the freshly-applied state table never
+    round-trips through the object store between the two halves.
+
+    Returns (*per-destination message tables, new state table, stats).
+    """
+    wants_csr = getattr(kernel, "wants_csr", False)
+    new_state, stats = _direct_apply(
+        run_id, kernel, boundaries_list, ctx, part,
+        csr_arrays if wants_csr else None, state_tab, *msg_tabs)
+    outs = _direct_scatter(run_id, kernel, csr_arrays, boundaries_list,
+                           part, new_state, plan_arrays)
+    if len(boundaries_list) - 1 == 1:
+        outs = (outs,)
+    return (*outs, new_state, stats)
+
+
 def _split_state_block(boundaries_list: list, tab: pa.Table):
     """One adopted-state block -> P per-partition sub-tables, partitioned
     by part_of(v) over the engine's apply boundaries (the stored ``part``
@@ -796,6 +821,7 @@ class Engine:
         scatter_batch: int | None = None,
         stats_every: int = 1,
         exchange: str = "direct",
+        fused: bool = True,
     ):
         # scatter_batch=None -> one batch per state block (= per partition,
         # thanks to the repartition(P) barrier), so scatter parallelism —
@@ -819,7 +845,13 @@ class Engine:
         # (kept for parity testing and as the pure-Dataset formulation).
         # Identical results — parity-tested per kernel.
         self.exchange = exchange
+        # fused (default) = one _direct_fused wave per superstep
+        # (apply+scatter in a single task, see _direct_fused); off = the
+        # two-wave scatter->apply form (step_direct). Identical results —
+        # parity-tested; fused halves per-superstep scheduling depth.
+        self.fused = fused and not os.environ.get("PLANAR_NO_FUSED")
         self._state_refs: list | None = None
+        self._msg_refs: list | None = None  # fused mode: [src][dst] matrix
         self.metrics: list[StepMetrics] = []
         self.globals: dict = {}
         kernel._num_vertices = graph.num_vertices
@@ -879,6 +911,8 @@ class Engine:
                     pass  # ray already shut down / actor gone
         self._csr_refs = {}
         self._kernel_ref = None
+        self._msg_refs = None
+        self._plan_refs = None
 
     def __enter__(self):
         return self
@@ -1074,6 +1108,7 @@ class Engine:
         import ray
 
         P = len(self._apply_boundaries) - 1
+        self._msg_refs = None  # fused mode re-seeds from the new state
         if state is not None:
             self._state_refs = self._refs_by_part(state)
             row = state.aggregate(*self.kernel.stat_aggs())
@@ -1090,6 +1125,7 @@ class Engine:
         import ray
 
         t0 = time.monotonic()
+        self._msg_refs = None  # invalidate any fused-mode message matrix
         P = len(self._apply_boundaries) - 1
         scatter = _remote_fn(_direct_scatter, P)
         apply_ = _remote_fn(_direct_apply, 2)
@@ -1115,6 +1151,62 @@ class Engine:
         if with_stats:
             # ray.get on the stats refs IS the BSP barrier
             stats = Kernel.merge_stats(ray.get([a[1] for a in applied]),
+                                       self.kernel.stats_spec)
+            self.globals = stats
+        else:
+            stats = dict(self.globals)  # supersteps pipeline through refs
+        dt = time.monotonic() - t0
+        m = StepMetrics(
+            superstep=superstep, seconds=dt,
+            max_delta=float(stats.get("max_delta", 0) or 0),
+            changed=int(stats.get("changed", 0) or 0),
+            in_msgs=int(stats.get("in_msgs", 0) or 0),
+            edges_per_sec=self.graph.num_edges / dt if dt > 0 else 0.0,
+        )
+        self.metrics.append(m)
+        if self.checkpoint_every and self.run_dir and (
+            superstep % self.checkpoint_every == 0
+        ):
+            self._checkpoint_direct(superstep, m)
+        return m
+
+    def step_fused(self, superstep: int, with_stats: bool = True) -> StepMetrics:
+        """One fused compute wave (see _direct_fused): P tasks, each
+        applying superstep ``superstep``'s inbound messages and scattering
+        superstep ``superstep + 1``'s outbound ones. The first call seeds
+        the message matrix with a scatter-only wave from current state."""
+        import ray
+
+        t0 = time.monotonic()
+        P = len(self._apply_boundaries) - 1
+        if self._msg_refs is None:
+            scatter = _remote_fn(_direct_scatter, P)
+            outs = [scatter.remote(self.run_id, self._kernel_ref,
+                                   self._csr_refs[p], self._apply_boundaries,
+                                   p, self._state_refs[p],
+                                   self._plan_refs[p] if self._plan_refs
+                                   else None)
+                    for p in range(P)]
+            if P == 1:
+                outs = [[o] for o in outs]
+            self._msg_refs = outs
+        fused = _remote_fn(_direct_fused, P + 2)
+        ctx = {"num_vertices": self.graph.num_vertices,
+               "num_edges": self.graph.num_edges,
+               "superstep": superstep,
+               "globals": dict(self.globals)}
+        waves = [fused.remote(self.run_id, self._kernel_ref,
+                              self._apply_boundaries, ctx, q,
+                              self._csr_refs[q],
+                              self._plan_refs[q] if self._plan_refs else None,
+                              self._state_refs[q],
+                              *[self._msg_refs[p][q] for p in range(P)])
+                 for q in range(P)]
+        self._msg_refs = [w[:P] for w in waves]
+        self._state_refs = [w[P] for w in waves]
+        if with_stats:
+            # ray.get on the stats refs IS the BSP barrier
+            stats = Kernel.merge_stats(ray.get([w[P + 1] for w in waves]),
                                        self.kernel.stats_spec)
             self.globals = stats
         else:
@@ -1160,6 +1252,7 @@ class Engine:
             if found is not None:
                 state, start = found
                 self._state_refs = self._refs_by_part(state)
+                self._msg_refs = None
         if self._state_refs is None:
             self.init_state_direct(initial_state)
         for s in range(start, max_supersteps):
@@ -1169,7 +1262,10 @@ class Engine:
                 or s % self.stats_every == 0
                 or s == max_supersteps - 1
             )
-            self.step_direct(s, with_stats=check)
+            if self.fused:
+                self.step_fused(s, with_stats=check)
+            else:
+                self.step_direct(s, with_stats=check)
             if check and self.kernel.converged(self.globals, s):
                 break
         return self.state_dataset()

@@ -520,3 +520,35 @@ def test_adaptive_wire_sparse_rows_match_dense_and_noplan(
     assert d1["in_msgs"].sum() > 0
     e1.close()
     e2.close()
+
+
+def test_fused_wave_matches_two_wave_engine(ray_session, tmp_root):
+    """superstep._direct_fused (apply+scatter in one task wave) must be
+    observationally identical to the two-wave scatter->apply form:
+    same superstep count, same values, for a plan-mode kernel
+    (PageRank, dense/sparse adaptive wire) and a frontier kernel (WCC).
+    """
+    import ray.data as rd
+
+    from planar_ray import graph as G
+    from planar_ray.graph import derive_direction
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.kernels.wcc import WCCKernel
+    from planar_ray.superstep import Engine
+
+    rng = np.random.default_rng(7)
+    E = rng.integers(0, 8000, size=(48000, 2)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]}))
+    g = G.graph_from_id_edges(ds, f"{tmp_root}/fused_parity", num_parts=4)
+    derive_direction(g, "sym")
+
+    for K in (PageRankKernel, WCCKernel):
+        e1 = Engine(g, K(), fused=True)
+        d1 = e1.run(max_supersteps=60).to_pandas().sort_values("v")
+        e2 = Engine(g, K(), fused=False)
+        d2 = e2.run(max_supersteps=60).to_pandas().sort_values("v")
+        assert len(e1.metrics) == len(e2.metrics)
+        assert np.allclose(d1["val"].to_numpy(), d2["val"].to_numpy(),
+                           atol=1e-12)
+        e1.close()
+        e2.close()
