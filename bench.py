@@ -224,6 +224,11 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
     # inherit the env. On real hardware both are no-ops for correctness.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    # single-threaded BLAS in this driver process: _cpu_ceiling's
+    # concurrency math needs one core per matmul task (Ray workers
+    # already default to OMP_NUM_THREADS=1)
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     import ray
 
     store = int(float(os.environ.get("PLANAR_SCALING_STORE_GB", "24")) * 1e9)
@@ -268,7 +273,66 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
         "edges_per_sec_per_superstep": round(g.num_edges * n_steps / dt, 1),
         "sec_per_superstep": round(dt / n_steps, 3),
         "batch_secs": [round(b, 2) for b in batch_secs],
+        "cpu_ceiling_task_sec": _cpu_ceiling(ncpu),
+        "mem_ceiling_task_sec": _mem_ceiling(ncpu),
     }))
+
+
+def _cpu_ceiling(ncpu: int) -> float:
+    """Per-task seconds of a fixed warm numpy matmul burn run ncpu-way
+    concurrent — the box's PURE-COMPUTE parallel ceiling at this level,
+    measured in the same process right after the Ray run. On dedicated
+    hardware this is flat across levels; on this multi-tenant VM it
+    degrades with concurrency (hypervisor overcommit + shared memory
+    bandwidth), so (lo_ceiling / hi_ceiling) is the best scaling ANY
+    CPU-bound job — Ray or not — could show between the two levels.
+    Reported alongside the PageRank number to separate engine scaling
+    from infrastructure ceiling."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    a = np.random.rand(1500, 1500)
+
+    def burn(_):
+        t0 = time.monotonic()
+        for _ in range(6):
+            (a @ a).sum()
+        return time.monotonic() - t0
+
+    burn(0)  # warm
+    with ThreadPoolExecutor(ncpu) as ex:  # numpy matmul releases the GIL
+        times = sorted(ex.map(burn, range(2 * ncpu)))
+    return round(times[len(times) // 2], 3)  # median task
+
+
+def _mem_ceiling(ncpu: int) -> float:
+    """Memory-bound twin of _cpu_ceiling: each task random-gathers a
+    64 MB array and bincounts the result — the same access pattern as a
+    PageRank scatter wave (rate gather + dense accumulate). DRAM
+    bandwidth is shared across cores, so this ceiling is LOWER than the
+    matmul one and is the honest bound for what a memory-bound superstep
+    can scale to on one box; on a real cluster each of the 4N nodes
+    brings its own memory system and this term disappears."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = 8_000_000
+    rng = np.random.default_rng(5)
+    arr = rng.random(n)
+    idx = rng.integers(0, n, n).astype(np.int64)
+
+    def burn(_):
+        t0 = time.monotonic()
+        for _ in range(3):
+            g = arr[idx]
+            np.bincount(idx >> np.int64(12), weights=g,
+                        minlength=n >> 12).sum()
+        return time.monotonic() - t0
+
+    burn(0)  # warm
+    with ThreadPoolExecutor(ncpu) as ex:
+        times = sorted(ex.map(burn, range(2 * ncpu)))
+    return round(times[len(times) // 2], 3)
 
 
 def run_scaling() -> dict:
@@ -299,8 +363,29 @@ def run_scaling() -> dict:
         _eprint(f"scaling lo[{i}]:", lo)
         hi = child(4 * n)
         _eprint(f"scaling hi[{i}]:", hi)
-        pairs.append({"lo": lo, "hi": hi,
-                      "eff": round((lo["sec"] / hi["sec"]) / 4.0, 3)})
+        # pure-compute ceiling: the best scaling ANY CPU-bound job could
+        # show between these two levels at measurement time (see
+        # _cpu_ceiling) — the box is overcommitted, so per-core speed
+        # drops as concurrency rises even for warm numpy matmul
+        ceil = None
+        if lo.get("cpu_ceiling_task_sec") and hi.get("cpu_ceiling_task_sec"):
+            ceil = round(lo["cpu_ceiling_task_sec"]
+                         / hi["cpu_ceiling_task_sec"], 3)
+        mceil = None
+        if lo.get("mem_ceiling_task_sec") and hi.get("mem_ceiling_task_sec"):
+            mceil = round(lo["mem_ceiling_task_sec"]
+                          / hi["mem_ceiling_task_sec"], 3)
+        eff = round((lo["sec"] / hi["sec"]) / 4.0, 3)
+        # a mem ceiling > 1 means the box's throttle level CHANGED between
+        # the lo and hi runs (per-task time should only rise with
+        # concurrency) — the pair's conditions weren't comparable, so
+        # don't derive an eff-vs-ceiling from it
+        steady = mceil is not None and mceil <= 1.0
+        pairs.append({"lo": lo, "hi": hi, "eff": eff, "ceiling_eff": ceil,
+                      "mem_ceiling_eff": mceil,
+                      "steady_conditions": steady,
+                      "eff_vs_ceiling": (round(min(eff / mceil, 1.0), 3)
+                                         if steady else None)})
     best = max(pairs, key=lambda p: p["eff"])
     result = {
         "metric": "pagerank_scaling_efficiency",
@@ -312,6 +397,10 @@ def run_scaling() -> dict:
         "lo": best["lo"],
         "hi": best["hi"],
         "pairs": [p["eff"] for p in pairs],
+        "ceiling_eff": best["ceiling_eff"],
+        "mem_ceiling_eff": best["mem_ceiling_eff"],
+        "steady_conditions": best["steady_conditions"],
+        "eff_vs_ceiling": best["eff_vs_ceiling"],
     }
     _write_scaling_md(result)
     return result
@@ -339,6 +428,28 @@ def _write_scaling_md(r: dict) -> None:
            else ""),
         "",
     ]
+    if r.get("ceiling_eff"):
+        lo_c = r["lo"].get("cpu_ceiling_task_sec")
+        hi_c = r["hi"].get("cpu_ceiling_task_sec")
+        lo_m = r["lo"].get("mem_ceiling_task_sec")
+        hi_m = r["hi"].get("mem_ceiling_task_sec")
+        lines += [
+            f"Box ceilings at measurement time, each a warm 1-thread numpy "
+            f"task run {r['n_cpus']}-way then {r['n4_cpus']}-way concurrent: "
+            f"compute (matmul) {lo_c} -> {hi_c} s/task = scaling ceiling "
+            f"**{r['ceiling_eff']}**; memory-bound (random gather+bincount, "
+            f"a superstep's access pattern) {lo_m} -> {hi_m} s/task = "
+            f"ceiling **{r.get('mem_ceiling_eff')}**."
+            + (f" PageRank reached **{r['eff_vs_ceiling']}** of the "
+               f"memory-bound ceiling (shared-DRAM term; absent on a real "
+               f"cluster where each of the 4N nodes brings its own memory "
+               f"system)."
+               if r.get("steady_conditions")
+               else " A memory ceiling > 1 means the hypervisor throttle "
+                    "level CHANGED between the lo and hi runs — the pair's "
+                    "levels did not see comparable conditions."),
+            "",
+        ]
     with open(path, "a") as f:
         f.write("\n".join(lines))
 
