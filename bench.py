@@ -299,8 +299,12 @@ def _cpu_ceiling(ncpu: int) -> float:
             (a @ a).sum()
         return time.monotonic() - t0
 
-    burn(0)  # warm
     with ThreadPoolExecutor(ncpu) as ex:  # numpy matmul releases the GIL
+        # warm the pool's threads + their malloc arenas at full
+        # concurrency first — otherwise the probe measures first-touch
+        # page faults (which this VM serves ~100x slower than warm
+        # memory), not compute
+        list(ex.map(burn, range(ncpu)))
         times = sorted(ex.map(burn, range(2 * ncpu)))
     return round(times[len(times) // 2], 3)  # median task
 
@@ -329,8 +333,9 @@ def _mem_ceiling(ncpu: int) -> float:
                         minlength=n >> 12).sum()
         return time.monotonic() - t0
 
-    burn(0)  # warm
     with ThreadPoolExecutor(ncpu) as ex:
+        # same arena warm-up as _cpu_ceiling: time bandwidth, not faults
+        list(ex.map(burn, range(ncpu)))
         times = sorted(ex.map(burn, range(2 * ncpu)))
     return round(times[len(times) // 2], 3)
 
