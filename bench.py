@@ -363,7 +363,7 @@ def run_scaling() -> dict:
     # pairs back-to-back so both levels see the same noise regime, and
     # report every pair plus the best one
     pairs = []
-    for i in range(int(os.environ.get("PLANAR_SCALING_PAIRS", "2"))):
+    for i in range(int(os.environ.get("PLANAR_SCALING_PAIRS", "1"))):
         lo = child(n)
         _eprint(f"scaling lo[{i}]:", lo)
         hi = child(4 * n)
