@@ -154,3 +154,97 @@ def hash_bucket_join(
     return coalesce(lt.union(rt)).groupby("__bucket").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def asof_bucket_join(
+    left: Dataset,
+    right: Dataset,
+    left_by: str,
+    right_by: str,
+    left_ts: str,
+    right_ts: str,
+    buckets: int = DEFAULT_BUCKETS,
+    right_tiebreak: str | None = None,
+) -> Dataset:
+    """Distributed point-in-time (as-of) join: for each left row, the
+    single right row sharing its key with the greatest ``right_ts`` <=
+    ``left_ts`` (DuckDB/pandas "backward" semantics, inner flavour —
+    left rows with no preceding right row are dropped).
+
+    Same scale shape as :func:`hash_bucket_join`: both sides tagged with
+    ``hash(key) % buckets`` so a key's full history co-locates, ONE
+    ``groupby('bucket')`` sort-shuffle total, then each bucket runs one
+    vectorised ``pandas.merge_asof`` (a C merge over the two ts-sorted
+    sides). Skewed keys are bounded by per-key history size, not bucket
+    count — a single key's rows must fit one group, the same contract as
+    sessionization.
+
+    Determinism requires the right side be unique per (key, ts): if two
+    right rows tie on both, "the" as-of row is ambiguous. Pass
+    ``right_tiebreak`` to keep the row with the MINIMUM value of that
+    column per (key, ts) — free inside the bucket merge, since a key's
+    rows are already co-located (SQL twin: ``row_number() over
+    (partition by key, ts order by tiebreak) = 1``).
+    """
+    left, lschema = _with_schema(left)
+    right, rschema = _with_schema(right)
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    overlap = (set(lnames)) & (set(rnames))
+    if overlap:
+        raise ValueError(f"asof join columns collide: {overlap}")
+
+    def tag(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_of(t[key].combine_chunks(), buckets)
+            out = t.append_column("__bucket", pa.array(b))
+            return out.append_column("__side", pa.array([side] * len(t)))
+        return fn
+
+    lt = left.map_batches(tag("l", left_by), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_by), batch_format="pyarrow")
+
+    types = dict(zip(lschema.names, lschema.types))
+    types.update(zip(rschema.names, rschema.types))
+    ordered = lnames + rnames + ["__bucket", "__side"]
+
+    def pad(have_names: list[str]):
+        have = set(have_names) | {"__bucket", "__side"}
+
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({n: (t[n] if n in have
+                                 else pa.nulls(len(t), types[n]))
+                             for n in ordered})
+
+        return fn
+
+    lt = lt.map_batches(pad(lnames), batch_format="pyarrow")
+    rt = rt.map_batches(pad(rnames), batch_format="pyarrow")
+
+    out_schema = pa.schema([(n, types[n]) for n in lnames + rnames])
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(group["__side"], "l")
+        gl = group.filter(lmask).select(lnames).to_pandas()
+        gr = group.filter(pc.invert(lmask)).select(rnames).to_pandas()
+        if not len(gl) or not len(gr):
+            return out_schema.empty_table()
+        gl = gl.sort_values(left_ts, kind="stable")
+        if right_tiebreak is not None:
+            gr = gr.sort_values([right_by, right_ts, right_tiebreak],
+                                kind="stable")
+            gr = gr.drop_duplicates([right_by, right_ts], keep="first")
+        gr = gr.sort_values(right_ts, kind="stable")
+        m = pd.merge_asof(gl, gr, left_on=left_ts, right_on=right_ts,
+                          left_by=left_by, right_by=right_by,
+                          direction="backward", allow_exact_matches=True)
+        m = m[m[right_ts].notna()]  # inner: drop left rows with no match
+        return pa.Table.from_pandas(m, preserve_index=False).select(
+            lnames + rnames).cast(out_schema)
+
+    return coalesce(lt.union(rt)).groupby("__bucket").map_groups(
+        merge, batch_format="pyarrow"
+    )

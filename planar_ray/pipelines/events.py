@@ -226,14 +226,74 @@ FROM hops GROUP BY 1, 2
 """
 
 
+def q_events_asof_orders(sf_dir: str) -> pa.Table:
+    """Point-in-time join: each event paired with the most recent order
+    of the same customer at or before the event (joins.asof_bucket_join
+    — one bucketed shuffle, vectorised merge_asof per bucket; right side
+    deduped per (custkey, orderdate) by min orderkey for determinism).
+    Timestamps leave as epoch microseconds (integer hash-stable)."""
+    from ..joins import asof_bucket_join
+    from ..util import read_parquet_clean
+
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_bucket_join(ev, orders, left_by="user_id",
+                           right_by="o_custkey", left_ts="ts",
+                           right_ts="o_orderdate",
+                           right_tiebreak="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_ts_us": pc.cast(t["ts"], pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "order_ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    tabs = [finish(b) for b in out.iter_batches(batch_format="pyarrow")]
+    empty = finish(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+    }))
+    return pa.concat_tables(tabs) if tabs else empty
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH o AS (
+  SELECT * FROM (
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey) AS rn
+    FROM orders) WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS event_ts_us,
+       o.o_orderkey,
+       epoch_us(o.o_orderdate) AS order_ts_us,
+       o.o_totalprice
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_hopping": q_events_hopping,
+    "events_asof_orders": q_events_asof_orders,
 }
 
 ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
 }

@@ -552,3 +552,48 @@ def test_fused_wave_matches_two_wave_engine(ray_session, tmp_root):
                            atol=1e-12)
         e1.close()
         e2.close()
+
+
+def test_asof_bucket_join_matches_pandas_reference(ray_session):
+    """joins.asof_bucket_join (distributed point-in-time join): backward
+    inner semantics with a (key, ts) tiebreak, vs a local merge_asof
+    reference — covers duplicate (key, ts) right rows, left rows with no
+    preceding right row, and keys on only one side.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from planar_ray.joins import asof_bucket_join
+
+    rng = np.random.default_rng(13)
+    L = pd.DataFrame({
+        "lid": np.arange(600, dtype=np.int64),
+        "k": rng.integers(0, 25, 600).astype(np.int64),
+        "lts": rng.integers(0, 1000, 600).astype(np.int64),
+    })
+    R = pd.DataFrame({
+        "rid": np.arange(200, dtype=np.int64),
+        "rk": rng.integers(5, 35, 200).astype(np.int64),  # partial overlap
+        "rts": rng.integers(0, 1000, 200).astype(np.int64),
+        "val": rng.random(200).round(6),
+    })
+    # force (key, ts) ties so the tiebreak path executes
+    R.loc[10, ["rk", "rts"]] = R.loc[11, ["rk", "rts"]].to_numpy()
+
+    got = asof_bucket_join(
+        rd.from_pandas(L), rd.from_pandas(R), left_by="k", right_by="rk",
+        left_ts="lts", right_ts="rts", buckets=8, right_tiebreak="rid",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    Rd = (R.sort_values(["rk", "rts", "rid"], kind="stable")
+           .drop_duplicates(["rk", "rts"], keep="first"))
+    want = pd.merge_asof(
+        L.sort_values("lts", kind="stable"), Rd.sort_values("rts"),
+        left_on="lts", right_on="rts", left_by="k", right_by="rk",
+        direction="backward")
+    want = (want[want["rts"].notna()].sort_values("lid")
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ("lid", "rid", "rts", "val"):
+        assert np.allclose(got[c].to_numpy(dtype=float),
+                           want[c].to_numpy(dtype=float)), c
