@@ -191,11 +191,12 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
 # scaling protocol (N vs 4N CPUs, same input, fresh processes)
 # ---------------------------------------------------------------------------
 
-def _scaling_graph(num_edges: int):
+def _scaling_graph(num_edges: int, num_parts: int | None = None):
     from planar_ray import graph as G
     from planar_ray.benchgraph import zipf_edges
 
-    num_parts = int(os.environ.get("PLANAR_SCALING_PARTS", "16"))
+    if num_parts is None:
+        num_parts = int(os.environ.get("PLANAR_SCALING_PARTS", "16"))
     root = f"/tmp/planar_scaling/zipf_{num_edges}_p{num_parts}"
     if os.path.exists(os.path.join(root, "meta_fwd.json")):
         return G.Graph.load(root, "fwd")  # deterministic: reuse across children
@@ -265,17 +266,110 @@ def scaling_child(ncpu: int, num_edges: int) -> None:
         batch_secs.append(time.monotonic() - t0)
     n_steps = 10
     dt = min(batch_secs) / batch * n_steps
+    dt_mean = (sum(batch_secs) / len(batch_secs)) / batch * n_steps
 
     ray.shutdown()
     print(json.dumps({
         "num_cpus": ncpu, "edges": g.num_edges, "supersteps": n_steps,
         "sec": round(dt, 2),
+        "sec_mean": round(dt_mean, 2),
         "edges_per_sec_per_superstep": round(g.num_edges * n_steps / dt, 1),
         "sec_per_superstep": round(dt / n_steps, 3),
         "batch_secs": [round(b, 2) for b in batch_secs],
         "cpu_ceiling_task_sec": _cpu_ceiling(ncpu),
         "mem_ceiling_task_sec": _mem_ceiling(ncpu),
     }))
+
+
+def run_pcross() -> dict:
+    """P-crossover probe for the two-level (node-major) exchange wire:
+    time steady PageRank supersteps on the SAME Zipf edge table
+    partitioned at P=16 / 64 / 128, each with the flat P x P wire
+    (node_groups=P disables the auto gate) and the grouped P x G wire
+    (G = node count, 1 on this box). The round-3 verdict's named scale
+    caveat was "P=16 beats P=32 (P^2 wire)" — this shows whether the
+    grouped wire removes the object-count crossover at high P. Appends a
+    table to BENCH/BASELINE.md."""
+    edges = int(os.environ.get("PLANAR_PCROSS_EDGES", "256000000"))
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    _init_ray(ncpu)
+    import ray
+
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.superstep import Engine
+
+    def barrier(e):
+        ray.wait(list(e._state_refs), num_returns=len(e._state_refs),
+                 fetch_local=False)
+
+    configs = [(16, 16, "flat"), (64, 64, "flat"), (64, 1, "grouped"),
+               (128, 128, "flat"), (128, 1, "grouped"), (128, 4, "grouped")]
+    rows = []
+    for parts, groups, label in configs:
+        g = _scaling_graph(edges, num_parts=parts)
+        eng = Engine(g, PageRankKernel(fixed_iters=10_000), stats_every=100,
+                     node_groups=groups)
+        try:
+            eng.init_state_direct()
+            for s in range(4):  # warm CSR/plan pins + worker caches
+                eng.step_fused(s, with_stats=False)
+            barrier(eng)
+            n_batches, batch = 4, 3
+            batch_secs = []
+            s = 4
+            for _ in range(n_batches):
+                t0 = time.monotonic()
+                for _ in range(batch):
+                    eng.step_fused(s, with_stats=False)
+                    s += 1
+                barrier(eng)
+                batch_secs.append(time.monotonic() - t0)
+        finally:
+            eng.close()
+        row = {
+            "parts": parts, "wire": label, "groups": groups,
+            "sec_per_superstep_best": round(min(batch_secs) / batch, 3),
+            "sec_per_superstep_mean": round(
+                sum(batch_secs) / len(batch_secs) / batch, 3),
+            "batch_secs": [round(b, 2) for b in batch_secs],
+        }
+        rows.append(row)
+        _eprint("pcross:", row)
+    ray.shutdown()
+    result = {"metric": "pcross", "edges": edges, "num_cpus": ncpu,
+              "rows": rows}
+    _write_pcross_md(result)
+    return result
+
+
+def _write_pcross_md(r: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    lines = [
+        "",
+        f"## P-crossover: flat vs two-level wire "
+        f"({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"PageRank steady supersteps, Zipf E={r['edges']:,}, "
+        f"{r['num_cpus']} cpus, fused direct exchange. 'flat' ships the "
+        "P x P message matrix; 'grouped' pre-combines per destination "
+        "group (P x G objects; G = node count, 1 here).",
+        "",
+        "| P | wire | G | s/superstep (best) | s/superstep (mean) | batches |",
+        "|---|---|---|---|---|---|",
+    ]
+    for row in r["rows"]:
+        lines.append(
+            f"| {row['parts']} | {row['wire']} | {row['groups']} | "
+            f"{row['sec_per_superstep_best']} | "
+            f"{row['sec_per_superstep_mean']} | {row['batch_secs']} |")
+    lines.append("")
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
 
 
 def _cpu_ceiling(ncpu: int) -> float:
@@ -381,31 +475,43 @@ def run_scaling() -> dict:
             mceil = round(lo["mem_ceiling_task_sec"]
                           / hi["mem_ceiling_task_sec"], 3)
         eff = round((lo["sec"] / hi["sec"]) / 4.0, 3)
+        eff_mean = (round((lo["sec_mean"] / hi["sec_mean"]) / 4.0, 3)
+                    if lo.get("sec_mean") and hi.get("sec_mean") else None)
         # a mem ceiling > 1 means the box's throttle level CHANGED between
         # the lo and hi runs (per-task time should only rise with
         # concurrency) — the pair's conditions weren't comparable, so
         # don't derive an eff-vs-ceiling from it
         steady = mceil is not None and mceil <= 1.0
-        pairs.append({"lo": lo, "hi": hi, "eff": eff, "ceiling_eff": ceil,
+        pairs.append({"lo": lo, "hi": hi, "eff": eff, "eff_mean": eff_mean,
+                      "ceiling_eff": ceil,
                       "mem_ceiling_eff": mceil,
                       "steady_conditions": steady,
                       "eff_vs_ceiling": (round(min(eff / mceil, 1.0), 3)
                                          if steady else None)})
-    best = max(pairs, key=lambda p: p["eff"])
+    # HEADLINE = the MEDIAN pair (robust under the VM's 2-3x hypervisor
+    # swings); best-of stays a disclosed secondary field. Selecting the
+    # max favored the most favorable noise regime and overstated typical
+    # scaling even with per-pair disclosure.
+    by_eff = sorted(pairs, key=lambda p: p["eff"])
+    med = by_eff[(len(by_eff) - 1) // 2]  # lower-middle: conservative
+    best = by_eff[-1]
     result = {
         "metric": "pagerank_scaling_efficiency",
-        "value": best["eff"],
+        "value": med["eff"],
         "unit": "ratio",
         "n_cpus": n,
         "n4_cpus": 4 * n,
         "edges": edges,
-        "lo": best["lo"],
-        "hi": best["hi"],
+        "lo": med["lo"],
+        "hi": med["hi"],
         "pairs": [p["eff"] for p in pairs],
-        "ceiling_eff": best["ceiling_eff"],
-        "mem_ceiling_eff": best["mem_ceiling_eff"],
-        "steady_conditions": best["steady_conditions"],
-        "eff_vs_ceiling": best["eff_vs_ceiling"],
+        "pairs_mean": [p.get("eff_mean") for p in pairs],
+        "eff_mean": med.get("eff_mean"),
+        "best_eff": best["eff"],
+        "ceiling_eff": med["ceiling_eff"],
+        "mem_ceiling_eff": med["mem_ceiling_eff"],
+        "steady_conditions": med["steady_conditions"],
+        "eff_vs_ceiling": med["eff_vs_ceiling"],
     }
     _write_scaling_md(result)
     return result
@@ -423,14 +529,16 @@ def _write_scaling_md(r: dict) -> None:
         f"Zipf edge table, E={r['edges']:,}, same graph + 10 timed supersteps",
         "per level (2 warm-up), fresh `ray.init` processes.",
         "",
-        "| cpus | sec (10 supersteps) | sec/superstep | edges/sec/superstep |",
-        "|---|---|---|---|",
-        f"| {r['lo']['num_cpus']} | {r['lo']['sec']} | {r['lo']['sec_per_superstep']} | {r['lo']['edges_per_sec_per_superstep']:,} |",
-        f"| {r['hi']['num_cpus']} | {r['hi']['sec']} | {r['hi']['sec_per_superstep']} | {r['hi']['edges_per_sec_per_superstep']:,} |",
+        "| cpus | sec (10 supersteps, best batch) | sec (mean of batches) | sec/superstep | edges/sec/superstep |",
+        "|---|---|---|---|---|",
+        f"| {r['lo']['num_cpus']} | {r['lo']['sec']} | {r['lo'].get('sec_mean', '-')} | {r['lo']['sec_per_superstep']} | {r['lo']['edges_per_sec_per_superstep']:,} |",
+        f"| {r['hi']['num_cpus']} | {r['hi']['sec']} | {r['hi'].get('sec_mean', '-')} | {r['hi']['sec_per_superstep']} | {r['hi']['edges_per_sec_per_superstep']:,} |",
         "",
-        f"**Scaling efficiency (N={r['n_cpus']} -> 4N={r['n4_cpus']}): {r['value']}**"
-        + (f" (best of back-to-back pairs {r['pairs']})" if r.get("pairs")
-           else ""),
+        f"**Scaling efficiency (N={r['n_cpus']} -> 4N={r['n4_cpus']}): "
+        f"{r['value']} (median pair)**"
+        + (f" — back-to-back pairs {r['pairs']}, best {r.get('best_eff')}"
+           f", mean-of-batches pairs {r.get('pairs_mean')}"
+           if r.get("pairs") else ""),
         "",
     ]
     if r.get("ceiling_eff"):
@@ -470,6 +578,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+        return
+    if "--pcross" in sys.argv:
+        print(json.dumps(run_pcross()))
         return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

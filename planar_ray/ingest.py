@@ -49,9 +49,13 @@ IMPORT_RE = {
 
 # the same patterns as PER-LINE RE2 (pyarrow.compute) — import statements
 # are line-shaped in every supported language, so content is split into
-# lines once and extracted with one vectorised extract_regex pass per
-# language (pyarrow 16 has no extract_regex_all; first-match-per-line is
-# exactly the corpus/oracle semantics here)
+# lines once and extracted with vectorised extract_regex passes per
+# language. Anchored (^...$) patterns match at most once per line, so
+# ONE pass suffices; UNANCHORED patterns (js require) can match several
+# times on a line (e.g. `a = require('x'); b = require('y')`) and the
+# oracle's findall sees ALL of them — those languages loop: extract the
+# first match, strip it with replace_substring_regex(max_replacements=1)
+# from the still-matching lines, re-extract until no line matches.
 LINE_RE = {
     "py": r"^import\s+(?P<tok>[\w.]+)\s*$",
     "js": r"require\('(?P<tok>[^']+)'\)",
@@ -59,6 +63,7 @@ LINE_RE = {
     "go": r"^import\s+\"(?P<tok>[^\"]+)\"\s*$",
     "rs": r"^use\s+(?P<tok>[\w:]+);\s*$",
 }
+UNANCHORED_LANGS = {"js"}  # languages whose pattern can repeat on a line
 
 IMPORT_STRUCT = pa.struct([("kind", pa.string()), ("dst", pa.string())])
 
@@ -153,27 +158,41 @@ class ImportExtractor:
         row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
         lines = lines_list.flatten()
         line_lang = langs[row_idx] if len(row_idx) else np.empty(0, object)
-        rows_o, pos_o, kind_o, dst_o = [], [], [], []
+        rows_o, pos_o, seq_o, kind_o, dst_o = [], [], [], [], []
         for lang, pat in LINE_RE.items():
             lm = line_lang == lang
             if not np.any(lm):
                 continue
             gidx = np.flatnonzero(lm)
-            ex = pc.extract_regex(lines.take(pa.array(gidx)), pattern=pat)
-            valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
-            if not valid.any():
-                continue
-            gidx = gidx[valid]
-            tok = pc.struct_field(ex, "tok").filter(pa.array(valid))
-            kind, dst, keep = _resolve_tokens_vec(tok, lang)
-            if keep.any():
-                rows_o.append(row_idx[gidx][keep])
-                pos_o.append(gidx[keep])  # global line order = row-major
-                kind_o.append(kind[keep])
-                dst_o.append(dst[keep])
+            sub = lines.take(pa.array(gidx))
+            seq = 0
+            while True:
+                ex = pc.extract_regex(sub, pattern=pat)
+                valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+                if not valid.any():
+                    break
+                vi = gidx[valid]
+                tok = pc.struct_field(ex, "tok").filter(pa.array(valid))
+                kind, dst, keep = _resolve_tokens_vec(tok, lang)
+                if keep.any():
+                    rows_o.append(row_idx[vi][keep])
+                    pos_o.append(vi[keep])  # global line order = row-major
+                    seq_o.append(np.full(int(keep.sum()), seq, np.int64))
+                    kind_o.append(kind[keep])
+                    dst_o.append(dst[keep])
+                if lang not in UNANCHORED_LANGS:
+                    break  # anchored: at most one match per line
+                # drop the consumed match from each still-matching line
+                # and re-extract — the findall semantics of the oracle
+                gidx = vi
+                sub = pc.replace_substring_regex(
+                    sub.filter(pa.array(valid)), pattern=pat,
+                    replacement="", max_replacements=1)
+                seq += 1
         if rows_o:
             row_all = np.concatenate(rows_o)
-            order = np.lexsort((np.concatenate(pos_o), row_all))
+            order = np.lexsort((np.concatenate(seq_o),
+                                np.concatenate(pos_o), row_all))
             row_all = row_all[order]
             kind_all = np.concatenate(kind_o)[order]
             dst_all = np.concatenate(dst_o)[order]

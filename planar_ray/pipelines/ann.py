@@ -565,8 +565,14 @@ def ivf_train(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
     for _ in range(1, min(nlist, len(X))):
         d2 = np.min(
             [np.sum((X - c) ** 2, axis=1) for c in cent], axis=0)
-        p = d2 / max(d2.sum(), 1e-30)
-        cent.append(X[int(rng.choice(len(X), p=p))])
+        tot = d2.sum()
+        if tot <= 0.0:
+            # every remaining sample coincides with a chosen centroid
+            # (degenerate corpus: fewer distinct points than nlist) —
+            # a p= of all zeros would raise in rng.choice; stop seeding
+            # with the centroids found so far
+            break
+        cent.append(X[int(rng.choice(len(X), p=d2 / tot))])
     C = np.stack(cent)
     for _ in range(IVF_KMEANS_ITERS):
         assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors

@@ -227,7 +227,11 @@ def combine_sum(targets: np.ndarray, vals: np.ndarray,
         return targets, vals
     if num_targets is not None and num_targets <= DENSE_SUM_MAX_IDS:
         s = np.bincount(targets, weights=vals, minlength=num_targets)
-        uniq = np.flatnonzero(s)
+        # uniq from a COUNT bincount, not the sum vector: a target whose
+        # partials sum to exactly 0.0 still received messages, and the
+        # sort path below emits its zero-valued row — keying on the sum
+        # dropped it, silently diverging in_msgs between the two paths
+        uniq = np.flatnonzero(np.bincount(targets, minlength=num_targets))
         return uniq, s[uniq]
     order = np.argsort(targets, kind="stable")
     t, v = targets[order], vals[order]
@@ -484,6 +488,23 @@ def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int)
 # one partition's state+messages fit a worker's heap (identical to the
 # dataset-mode apply-group assumption). Object lifetimes: at most two
 # supersteps of state tables are live; message tables free after apply.
+#
+# TWO-LEVEL (node-major) wire — the cluster-scale form of the exchange.
+# The flat wire ships a P x P message-table matrix per superstep; at
+# cluster scale (P in the thousands so a partition fits a worker heap)
+# that is millions of tiny plasma objects per superstep, and the object
+# count — not the bytes — becomes the bottleneck (measured here already:
+# P=16 beat P=32 on one box, SURVEY §7.12). With ``group_cuts`` (G+1
+# partition indices cutting [0..P] into G contiguous destination GROUPS
+# = nodes), scatter pre-combines per destination group instead: ONE
+# table per (src_part, dst_group), P x G objects. Rows inside a group
+# table are ordered by destination partition with the member row-offsets
+# carried as ``cuts`` schema metadata (dense vectors span the group's
+# contiguous vertex range), so each member partition's apply SLICES its
+# share zero-copy — the "intra-node split" costs no extra task wave. On
+# a real cluster a group's table is fetched to its node once and all
+# member partitions read the same plasma object. Bit-identical to the
+# flat wire (same per-slot accumulation order) — parity-tested.
 # ---------------------------------------------------------------------------
 
 
@@ -519,9 +540,17 @@ def _build_exchange_plan(csr_arrays, boundaries_list: list):
 
 
 def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
-                    part: int, state_tab: pa.Table, plan_arrays=None):
-    """One partition's state -> P per-destination message tables
+                    part: int, state_tab: pa.Table, plan_arrays=None,
+                    group_cuts: list | None = None):
+    """One partition's state -> per-DESTINATION message tables
     (role-1 pre-combined messages + role-2 global-partial rows).
+
+    A destination is one partition (flat wire, ``group_cuts=None``) or a
+    contiguous GROUP of partitions (two-level node-major wire — see the
+    module comment above): group tables order rows by member partition
+    and carry the member row-offsets as ``cuts`` schema metadata so the
+    apply side slices its share zero-copy; global partials ride as
+    ``g_*`` schema metadata instead of role-2 rows.
 
     ``kernel`` / ``csr_arrays`` arrive as top-level ObjectRef args, which
     Ray auto-dereferences in the worker (zero-copy local fetch from the
@@ -529,7 +558,12 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
     k = kernel
     boundaries = np.array(boundaries_list, dtype=np.int64)
     P = len(boundaries_list) - 1
-    per_dest: list[list] = [[] for _ in range(P)]
+    dcuts = (np.arange(P + 1, dtype=np.int64) if group_cuts is None
+             else np.asarray(group_cuts, dtype=np.int64))
+    G = len(dcuts) - 1
+    grouped = group_cuts is not None
+    per_dest: list[list] = [[] for _ in range(G)]
+    dest_meta: list[dict] = [{} for _ in range(G)]
     v = state_tab["v"].to_numpy(zero_copy_only=False)
     cols = {n: state_tab[n].to_numpy(zero_copy_only=False)
             for n in k.columns if n in state_tab.column_names}
@@ -562,15 +596,22 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                     meta_gp = {b"g_" + n.encode(): repr(float(v_)).encode()
                                for n, v_ in gp.items()}
                     gp = None  # consumed
-                for q in range(P):
-                    lo, hi = int(qcuts[q]), int(qcuts[q + 1])
+                for gi in range(G):
+                    q0, q1 = int(dcuts[gi]), int(dcuts[gi + 1])
+                    lo, hi = int(qcuts[q0]), int(qcuts[q1])
                     if lo == hi:
                         continue
-                    b0, b1 = int(boundaries[q]), int(boundaries[q + 1])
-                    s = np.bincount(ltgt[lo:hi], weights=vals[lo:hi],
+                    b0, b1 = int(boundaries[q0]), int(boundaries[q1])
+                    gt = ltgt[lo:hi]
+                    if grouped and q1 - q0 > 1:
+                        # plan targets are per-PARTITION-local: lift each
+                        # member segment into the group's contiguous range
+                        seg_lens = (qcuts[q0 + 1:q1 + 1]
+                                    - qcuts[q0:q1]).astype(np.int64)
+                        gt = gt + np.repeat(boundaries[q0:q1] - b0, seg_lens)
+                    s = np.bincount(gt, weights=vals[lo:hi],
                                     minlength=b1 - b0)
-                    c = np.bincount(ltgt[lo:hi],
-                                    minlength=b1 - b0).astype(np.int32)
+                    c = np.bincount(gt, minlength=b1 - b0).astype(np.int32)
                     # adaptive wire format: dense (sum, count) vectors at
                     # 12 B/slot when the destination range is mostly hit,
                     # pre-combined rows at ~20 B/row when sparse — at web
@@ -578,17 +619,23 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                     # on mid-size graphs dense skips the apply bincount
                     nz = np.flatnonzero(c)
                     if len(nz) * 5 >= (b1 - b0) * 3:
-                        per_dest[q].append(pa.table({"dval": s, "dcnt": c}))
+                        per_dest[gi].append(pa.table({"dval": s, "dcnt": c}))
                     else:
-                        per_dest[q].append(
+                        per_dest[gi].append(
                             k.msg_rows(nz + b0, ROLE_MSG, {"val": s[nz]}))
+                        if grouped:
+                            dest_meta[gi][b"cuts"] = np.searchsorted(
+                                nz, boundaries[q0:q1 + 1] - b0
+                            ).astype(np.int64).tobytes()
         elif raw is not None:
             # sum-combining kernels emit RAW (target, partial) pairs and
-            # the split+combine happens per DESTINATION partition with a
-            # dense bincount over that partition's vertex range — a
-            # L2-resident accumulator (~8B x range) instead of a
+            # the split+combine happens per DESTINATION with a dense
+            # bincount over that destination's vertex range — a
+            # cache-resident accumulator (~8B x range) instead of a
             # whole-graph sort or a V-sized array, so 16-way tasks don't
-            # thrash DRAM. Exact-zero sums emit no row (adding zero).
+            # thrash DRAM. Row presence keys on the COUNT vector, so a
+            # target whose partials sum to exactly 0.0 still gets its
+            # row (message presence feeds in_msgs — plan parity).
             out = raw(csr, vv, ccols)
             if out is not None and len(out["v"]):
                 tgt = out.pop("v")
@@ -597,16 +644,22 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                 order = np.argsort(parts, kind="stable")
                 tgt, vals, parts = tgt[order], vals[order], parts[order]
                 cuts = np.searchsorted(parts, np.arange(P + 1))
-                for q in range(P):
-                    lo, hi = int(cuts[q]), int(cuts[q + 1])
+                for gi in range(G):
+                    q0, q1 = int(dcuts[gi]), int(dcuts[gi + 1])
+                    lo, hi = int(cuts[q0]), int(cuts[q1])
                     if lo == hi:
                         continue
-                    b0, b1 = int(boundaries[q]), int(boundaries[q + 1])
+                    b0, b1 = int(boundaries[q0]), int(boundaries[q1])
                     s = np.bincount(tgt[lo:hi] - b0, weights=vals[lo:hi],
                                     minlength=b1 - b0)
-                    nz = np.flatnonzero(s)
-                    per_dest[q].append(k.msg_rows(nz + b0, ROLE_MSG,
-                                                  {"val": s[nz]}))
+                    nz = np.flatnonzero(
+                        np.bincount(tgt[lo:hi] - b0, minlength=b1 - b0))
+                    per_dest[gi].append(k.msg_rows(nz + b0, ROLE_MSG,
+                                                   {"val": s[nz]}))
+                    if grouped:
+                        dest_meta[gi][b"cuts"] = np.searchsorted(
+                            nz, boundaries[q0:q1 + 1] - b0
+                        ).astype(np.int64).tobytes()
             out = None
         else:
             out = k.scatter(csr, vv, ccols)
@@ -616,56 +669,119 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
             order = np.argsort(parts, kind="stable")
             tgt, parts = tgt[order], parts[order]
             out = {n: c[order] for n, c in out.items()}
-            uniq, starts = np.unique(parts, return_index=True)
-            ends = np.concatenate([starts[1:], [len(parts)]])
-            for q, s, e in zip(uniq, starts, ends):
-                per_dest[int(q)].append(k.msg_rows(
-                    tgt[s:e], ROLE_MSG,
-                    {n: c[s:e] for n, c in out.items()}))
-    if gp:  # not consumed by the plan branch: ride as role-2 rows
-        gv = boundaries[:-1]
-        for q in range(P):
-            per_dest[q].append(k.msg_rows(gv[q:q + 1], ROLE_GLOBAL,
-                                          {n: np.full(1, val)
-                                           for n, val in gp.items()}))
-    outs = [pa.concat_tables(ts) if ts else k.empty_msg_table()
-            for ts in per_dest]
-    if meta_gp is not None:
-        outs = [o.replace_schema_metadata(meta_gp) for o in outs]
-    return tuple(outs) if P > 1 else outs[0]
+            cuts = np.searchsorted(parts, np.arange(P + 1))
+            for gi in range(G):
+                q0, q1 = int(dcuts[gi]), int(dcuts[gi + 1])
+                lo, hi = int(cuts[q0]), int(cuts[q1])
+                if lo == hi:
+                    continue
+                per_dest[gi].append(k.msg_rows(
+                    tgt[lo:hi], ROLE_MSG,
+                    {n: c[lo:hi] for n, c in out.items()}))
+                if grouped:
+                    dest_meta[gi][b"cuts"] = (
+                        cuts[q0:q1 + 1] - lo).astype(np.int64).tobytes()
+    if gp:  # not consumed by the plan branch
+        if grouped:
+            # grouped wire: global partials always ride as metadata (a
+            # role-2 row per member would break the cuts row-accounting)
+            meta_gp = {b"g_" + n.encode(): repr(float(v_)).encode()
+                       for n, v_ in gp.items()}
+        else:
+            gv = boundaries[:-1]
+            for q in range(P):
+                per_dest[q].append(k.msg_rows(gv[q:q + 1], ROLE_GLOBAL,
+                                              {n: np.full(1, val)
+                                               for n, val in gp.items()}))
+    outs = []
+    for gi in range(G):
+        tab = (pa.concat_tables(per_dest[gi]) if per_dest[gi]
+               else k.empty_msg_table())
+        md = dest_meta[gi]
+        if meta_gp is not None:
+            md = {**md, **meta_gp}
+        if md:
+            tab = tab.replace_schema_metadata(md)
+        outs.append(tab)
+    return tuple(outs) if G > 1 else outs[0]
+
+
+def _slice_group_tab(tab: pa.Table, part: int, group_cuts, boundaries) -> pa.Table:
+    """Two-level wire: one inbound GROUP table -> this partition's slice.
+
+    Dense (dval/dcnt) tables span the group's contiguous vertex range —
+    slice by boundary arithmetic; sparse row tables carry per-member row
+    offsets as ``cuts`` schema metadata. Both slices are zero-copy views
+    on the shared plasma buffer (on a cluster: one fetch per node, all
+    member partitions slice the same object)."""
+    gcuts = np.asarray(group_cuts, dtype=np.int64)
+    g = int(np.searchsorted(gcuts, part, side="right")) - 1
+    q0 = int(gcuts[g])
+    if "dval" in tab.column_names and len(tab):
+        gb0 = int(boundaries[q0])
+        b0, b1 = int(boundaries[part]), int(boundaries[part + 1])
+        return tab.slice(b0 - gb0, b1 - b0)
+    if len(tab) == 0:
+        return tab  # keeps any g_* metadata
+    cuts = np.frombuffer((tab.schema.metadata or {})[b"cuts"], dtype=np.int64)
+    i = part - q0
+    return tab.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
 
 
 def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
                   part: int, csr_arrays, state_tab: pa.Table,
-                  *msg_tabs: pa.Table):
+                  *msg_tabs: pa.Table, group_cuts: list | None = None):
     """One partition's state + its inbound message tables -> (new state
     table, local stats dict). Same kernel contract as dataset mode.
     ``csr_arrays`` is non-None only for kernels with ``wants_csr`` (the
     ASP locals-fixpoint kernels): the partition's CSR lands in
-    ctx["csr"]."""
+    ctx["csr"]. With ``group_cuts`` the inbound tables are GROUP tables
+    (two-level wire) and this partition's share is sliced out first."""
     k = kernel
     boundaries = np.array(boundaries_list, dtype=np.int64)
     begin, end = int(boundaries[part]), int(boundaries[part + 1])
+    if group_cuts is not None:
+        msg_tabs = tuple(_slice_group_tab(t, part, group_cuts, boundaries)
+                         for t in msg_tabs)
     nonempty = [tab for tab in msg_tabs if len(tab)]
-    # dense-delivery tables (exchange-plan kernels): one (dval, dcnt)
-    # vector pair per source partition over THIS partition's range —
-    # reduce with vector adds, in fixed partition order (deterministic)
-    # global partials ride as g_* schema metadata on plan-mode tables
+    # global partials ride as g_* schema metadata on plan/grouped tables
     gpart: dict[str, list] = {}
     for tab in msg_tabs:
         for mk, mv_ in (tab.schema.metadata or {}).items():
             if mk.startswith(b"g_"):
                 gpart.setdefault(mk[2:].decode(), []).append(float(mv_))
-    dense = [tab for tab in nonempty if "dval" in tab.column_names]
-    if dense or gpart:
+    # SUM-wire kernels (vertex_rate / scatter_raw: the PageRank family)
+    # get their message sum reduced HERE, one source at a time in fixed
+    # source order: a source's sparse rows bincounted equal its dense
+    # (dval, dcnt) vector bitwise (pre-combined wire: at most one row
+    # per slot per source), so the per-slot accumulation order — hence
+    # the float result — is IDENTICAL whichever format the adaptive
+    # wire picked per source, and identical between the flat and the
+    # two-level grouped exchange (the parity guarantee).
+    sum_wire = (getattr(k, "vertex_rate", None) is not None
+                or getattr(k, "scatter_raw", None) is not None)
+    if sum_wire or gpart:
         ctx = dict(ctx)
-    if dense:
-        nonempty = [tab for tab in nonempty if "dval" not in tab.column_names]
-        dsum = np.zeros(end - begin)
-        dcnt = np.zeros(end - begin, dtype=np.int64)
-        for tab in dense:
-            dsum += tab["dval"].to_numpy(zero_copy_only=False)
-            dcnt += tab["dcnt"].to_numpy(zero_copy_only=False)
+    if sum_wire:
+        n_rng = end - begin
+        dsum = np.zeros(n_rng)
+        dcnt = np.zeros(n_rng, dtype=np.int64)
+        rest = []
+        for tab in nonempty:
+            if "dval" in tab.column_names:
+                dsum += tab["dval"].to_numpy(zero_copy_only=False)
+                dcnt += tab["dcnt"].to_numpy(zero_copy_only=False)
+                continue
+            role_t = tab["role"].to_numpy(zero_copy_only=False)
+            m = role_t == ROLE_MSG
+            if m.any():
+                loc = tab["v"].to_numpy(zero_copy_only=False)[m] - begin
+                val = tab["val"].to_numpy(zero_copy_only=False)[m]
+                dsum += np.bincount(loc, weights=val, minlength=n_rng)
+                dcnt += np.bincount(loc, minlength=n_rng)
+            if not m.all():
+                rest.append(tab.filter(pa.array(~m)))  # role-2 rows ride on
+        nonempty = rest
         ctx["dense_msgs"] = (dsum, dcnt)
     if gpart:
         ctx["global_partials"] = {
@@ -722,7 +838,7 @@ def _direct_init(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: list,
 
 def _direct_fused(run_id: str, kernel: Kernel, boundaries_list: list,
                   ctx: dict, part: int, csr_arrays, plan_arrays,
-                  state_tab: pa.Table, *msg_tabs: pa.Table):
+                  group_cuts, state_tab: pa.Table, *msg_tabs: pa.Table):
     """Pregel-style fused compute wave: apply the previous superstep's
     inbound messages to this partition's state, then immediately scatter
     the next superstep's outbound messages from the fresh state — ONE
@@ -737,10 +853,14 @@ def _direct_fused(run_id: str, kernel: Kernel, boundaries_list: list,
     wants_csr = getattr(kernel, "wants_csr", False)
     new_state, stats = _direct_apply(
         run_id, kernel, boundaries_list, ctx, part,
-        csr_arrays if wants_csr else None, state_tab, *msg_tabs)
+        csr_arrays if wants_csr else None, state_tab, *msg_tabs,
+        group_cuts=group_cuts)
     outs = _direct_scatter(run_id, kernel, csr_arrays, boundaries_list,
-                           part, new_state, plan_arrays)
-    if len(boundaries_list) - 1 == 1:
+                           part, new_state, plan_arrays,
+                           group_cuts=group_cuts)
+    n_dest = (len(group_cuts) - 1 if group_cuts is not None
+              else len(boundaries_list) - 1)
+    if n_dest == 1:
         outs = (outs,)
     return (*outs, new_state, stats)
 
@@ -822,6 +942,7 @@ class Engine:
         stats_every: int = 1,
         exchange: str = "direct",
         fused: bool = True,
+        node_groups: int | None = None,
     ):
         # scatter_batch=None -> one batch per state block (= per partition,
         # thanks to the repartition(P) barrier), so scatter parallelism —
@@ -862,6 +983,28 @@ class Engine:
             g2 = Graph.load(graph.root, kernel.direction)
             boundaries = [int(b) for b in g2.boundaries]
         self._apply_boundaries = boundaries
+        # two-level (node-major) exchange wire: G destination groups =
+        # nodes. Explicit ``node_groups`` / PLANAR_NODE_GROUPS wins; else
+        # AUTO above a P threshold (PLANAR_GROUP_AUTO_P, default 32 —
+        # where the flat P x P object count starts to dominate, SURVEY
+        # §7.12) with G = the cluster's alive node count. G >= P (or a
+        # small P) keeps the flat wire. Parity: bit-identical to flat.
+        P = len(boundaries) - 1
+        G = node_groups or int(os.environ.get("PLANAR_NODE_GROUPS", "0")) or None
+        if (G is None and exchange == "direct"
+                and P > int(os.environ.get("PLANAR_GROUP_AUTO_P", "32"))):
+            try:
+                G = max(1, sum(1 for n in ray.nodes() if n.get("Alive")))
+            except Exception:
+                G = 1
+        if G is not None and 0 < G < P:
+            base, extra = divmod(P, G)
+            cuts = [0]
+            for i in range(G):
+                cuts.append(cuts[-1] + base + (1 if i < extra else 0))
+            self._group_cuts: list[int] | None = cuts
+        else:
+            self._group_cuts = None
         self.run_id = uuid.uuid4().hex[:12]
         # pin the kernel and every partition's CSR in the object store ONCE;
         # scatter/init tasks ray.get them zero-copy (and memoise per worker
@@ -945,7 +1088,13 @@ class Engine:
         import ray
 
         expected = len(self._apply_boundaries) - 1
-        deadline = time.monotonic() + 30.0
+        # a lost push (worker reaped right after its task completed — a
+        # routine Ray event under memory pressure) must not stall every
+        # with_stats superstep: poll tightly for the common in-flight
+        # case, back off exponentially, and fall back to one aggregate
+        # job after ~2 s instead of the former 30 s busy-wait
+        deadline = time.monotonic() + 2.0
+        sleep = 0.002
         while True:
             parts = ray.get(self._stats_board.peek.remote(superstep))
             if len(parts) >= expected:
@@ -955,7 +1104,8 @@ class Engine:
                     row = state.aggregate(*self.kernel.stat_aggs())
                     return {k: (0 if v is None else v) for k, v in row.items()}
                 break
-            time.sleep(0.002)
+            time.sleep(sleep)
+            sleep = min(sleep * 1.5, 0.1)
         self._stats_board.gc.remote(superstep)
         return Kernel.merge_stats(parts, self.kernel.stats_spec)
 
@@ -1127,7 +1277,9 @@ class Engine:
         t0 = time.monotonic()
         self._msg_refs = None  # invalidate any fused-mode message matrix
         P = len(self._apply_boundaries) - 1
-        scatter = _remote_fn(_direct_scatter, P)
+        gcuts = self._group_cuts
+        n_dest = len(gcuts) - 1 if gcuts is not None else P
+        scatter = _remote_fn(_direct_scatter, n_dest)
         apply_ = _remote_fn(_direct_apply, 2)
         ctx = {"num_vertices": self.graph.num_vertices,
                "num_edges": self.graph.num_edges,
@@ -1136,16 +1288,19 @@ class Engine:
         outs = [scatter.remote(self.run_id, self._kernel_ref,
                                self._csr_refs[p], self._apply_boundaries, p,
                                self._state_refs[p],
-                               self._plan_refs[p] if self._plan_refs else None)
+                               self._plan_refs[p] if self._plan_refs else None,
+                               gcuts)
                 for p in range(P)]
-        if P == 1:
+        if n_dest == 1:
             outs = [[o] for o in outs]
         wants_csr = getattr(self.kernel, "wants_csr", False)
         applied = [apply_.remote(self.run_id, self._kernel_ref,
                                  self._apply_boundaries, ctx, q,
                                  self._csr_refs[q] if wants_csr else None,
                                  self._state_refs[q],
-                                 *[outs[p][q] for p in range(P)])
+                                 *[outs[p][self._dest_of(q)]
+                                   for p in range(P)],
+                                 group_cuts=gcuts)
                    for q in range(P)]
         self._state_refs = [a[0] for a in applied]
         if with_stats:
@@ -1170,6 +1325,15 @@ class Engine:
             self._checkpoint_direct(superstep, m)
         return m
 
+    def _dest_of(self, q: int) -> int:
+        """Destination index of partition q: its group on the two-level
+        wire, else the partition itself."""
+        if self._group_cuts is None:
+            return q
+        import bisect
+
+        return bisect.bisect_right(self._group_cuts, q) - 1
+
     def step_fused(self, superstep: int, with_stats: bool = True) -> StepMetrics:
         """One fused compute wave (see _direct_fused): P tasks, each
         applying superstep ``superstep``'s inbound messages and scattering
@@ -1179,18 +1343,20 @@ class Engine:
 
         t0 = time.monotonic()
         P = len(self._apply_boundaries) - 1
+        gcuts = self._group_cuts
+        n_dest = len(gcuts) - 1 if gcuts is not None else P
         if self._msg_refs is None:
-            scatter = _remote_fn(_direct_scatter, P)
+            scatter = _remote_fn(_direct_scatter, n_dest)
             outs = [scatter.remote(self.run_id, self._kernel_ref,
                                    self._csr_refs[p], self._apply_boundaries,
                                    p, self._state_refs[p],
                                    self._plan_refs[p] if self._plan_refs
-                                   else None)
+                                   else None, gcuts)
                     for p in range(P)]
-            if P == 1:
+            if n_dest == 1:
                 outs = [[o] for o in outs]
             self._msg_refs = outs
-        fused = _remote_fn(_direct_fused, P + 2)
+        fused = _remote_fn(_direct_fused, n_dest + 2)
         ctx = {"num_vertices": self.graph.num_vertices,
                "num_edges": self.graph.num_edges,
                "superstep": superstep,
@@ -1199,14 +1365,16 @@ class Engine:
                               self._apply_boundaries, ctx, q,
                               self._csr_refs[q],
                               self._plan_refs[q] if self._plan_refs else None,
+                              gcuts,
                               self._state_refs[q],
-                              *[self._msg_refs[p][q] for p in range(P)])
+                              *[self._msg_refs[p][self._dest_of(q)]
+                                for p in range(P)])
                  for q in range(P)]
-        self._msg_refs = [w[:P] for w in waves]
-        self._state_refs = [w[P] for w in waves]
+        self._msg_refs = [w[:n_dest] for w in waves]
+        self._state_refs = [w[n_dest] for w in waves]
         if with_stats:
             # ray.get on the stats refs IS the BSP barrier
-            stats = Kernel.merge_stats(ray.get([w[P + 1] for w in waves]),
+            stats = Kernel.merge_stats(ray.get([w[n_dest + 1] for w in waves]),
                                        self.kernel.stats_spec)
             self.globals = stats
         else:

@@ -42,3 +42,41 @@ def test_self_loops_and_ghosts_dropped():
     df = edges.to_pandas()
     assert (df["src_key"] != df["dst_key"]).all()
     assert not df["dst_key"].str.contains("ghost_").any()
+
+
+def test_multi_require_per_line_matches_oracle():
+    """A js line with SEVERAL require() calls must yield every edge the
+    findall oracle sees (the unanchored-pattern extract loop), plus an
+    anchored-language control that still emits exactly one."""
+    import pyarrow as pa
+
+    tab = pa.table({
+        "repo": ["orgX/projY"] * 4,
+        "path": ["src/pkg_a/mod_b.js", "src/pkg_a/mod_c.js",
+                 "src/pkg_a/multi.js", "src/pkg_a/solo.py"],
+        "commit": ["c0"] * 4,
+        "lang": ["js", "js", "js", "py"],
+        "content": [
+            "exports.b = 1\n",
+            "exports.c = 1\n",
+            # two requires on ONE line + one on its own line
+            "const b = require('pkg_a/mod_b'); const c = require('pkg_a/mod_c')\n"
+            "const s = require('std_fs')\n",
+            "import pkg_a.mod_b\nimport pkg_a.mod_b\n",
+        ],
+    })
+    ds = rd.from_arrow(tab)
+    files = ingest.extract_files(ds, concurrency=2)
+    edges = ingest.build_edges(files, num_partitions=2)
+    got = {
+        (r["src_key"], r["dst_key"], r["kind"])
+        for r in edges.to_pandas().to_dict("records")
+    }
+    want = ingest.oracle_edges(tab)
+    assert got == want
+    multi = {(s, d) for s, d, _ in got if s.endswith("multi.js")}
+    assert multi == {
+        ("orgX/projY/src/pkg_a/multi.js", "orgX/projY/src/pkg_a/mod_b.js"),
+        ("orgX/projY/src/pkg_a/multi.js", "orgX/projY/src/pkg_a/mod_c.js"),
+        ("orgX/projY/src/pkg_a/multi.js", "stdlib/std_fs"),
+    }
