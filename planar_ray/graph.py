@@ -363,22 +363,31 @@ class CSRPart:
 
     begin: int
     end: int
-    indptr: np.ndarray  # len (end-begin)+1
-    indices: np.ndarray  # int64 dst ids
+    indptr: np.ndarray  # len (end-begin)+1, int64 (small: V/P entries)
+    # dst ids: uint32 when every id fits (the reference's VertexID is
+    # uint32_t, /root/reference/core/common/types.h:13-22) — this is the
+    # E-sized hot array of the measured memory-bound superstep, so
+    # halving it halves DRAM traffic on the scatter gather; int64 only
+    # beyond 2^32 vertices. All consumers subtract a lower range bound
+    # (>= 0 by construction) or compare/index, so unsigned math is safe;
+    # message rows cast back to int64 at the Arrow boundary.
+    indices: np.ndarray
 
     @classmethod
     def load(cls, part_dir: str, begin: int, end: int) -> "CSRPart":
         path = os.path.join(part_dir, "edges.parquet")
         if not os.path.exists(path):
             n = end - begin
-            return cls(begin, end, np.zeros(n + 1, np.int64), np.empty(0, np.int64))
+            return cls(begin, end, np.zeros(n + 1, np.int64), np.empty(0, np.uint32))
         tab = pq.read_table(path)
         src = tab["src"].to_numpy()
         dst = tab["dst"].to_numpy()
         n = end - begin
         deg = np.bincount(src - begin, minlength=n).astype(np.int64)
         indptr = np.concatenate([[0], np.cumsum(deg)])
-        return cls(begin, end, indptr, dst.astype(np.int64))
+        narrow = len(dst) == 0 or int(dst.max()) < 2**32
+        return cls(begin, end, indptr,
+                   dst.astype(np.uint32 if narrow else np.int64))
 
     def neighbors_flat(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(counts, flat neighbor ids) for a vertex subset — vectorised."""

@@ -57,6 +57,7 @@ CHUNK_ROWS = 8192  # blocked-scan chunk size (bounded object-store slabs)
 # pytest covers a threshold-crossing margin-constructed set.
 EXACT_SCAN_MAX_ROWS = 50_000
 LSH_TABLES = 4  # independent hyperplane tables (recall booster)
+VOTE_SHUFFLE_BUCKETS = 64  # bounded groups for the vectorised kNN vote
 
 
 def _read_emb(sf_dir: str) -> Dataset:
@@ -404,16 +405,62 @@ def _knn_label_lsh(sf_dir: str) -> pa.Table:
     partial = tagged.groupby("gkey").map_groups(topk_in_bucket,
                                                 batch_format="pyarrow")
 
-    def vote_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("cand").sort_values(
-            ["sim", "cand"], ascending=[False, True]).head(TOP_K)
-        counts = g.groupby("clab").size().sort_index()
-        pred = int(counts.index[np.argmax(counts.to_numpy())])
-        return pd.DataFrame({"vec_id": [int(g["vec_id"].iloc[0])],
-                             "pred_label": [pred]})
+    def add_vbucket(t: pa.Table) -> pa.Table:
+        vb = (t["vec_id"].to_numpy(zero_copy_only=False)
+              % VOTE_SHUFFLE_BUCKETS).astype(np.int64)
+        return t.append_column("vbucket", pa.array(vb))
 
-    out = partial.groupby("vec_id").map_groups(
-        vote_group, batch_format="pandas").to_pandas()
+    def vote_bucket(t: pa.Table) -> pa.Table:
+        """Vectorised vote over EVERY vector in this shuffle bucket at
+        once (the exact path's np-kernel style — the former per-vector
+        pandas map_groups ran one Python call per vector):
+        dedup (vec, cand) across tables -> exact (sim desc, cand asc)
+        top-k per vec via one lexsort + grouped rank -> per-(vec, label)
+        counts -> winner = max count, ties -> smaller label."""
+        vec = t["vec_id"].to_numpy(zero_copy_only=False)
+        cand = t["cand"].to_numpy(zero_copy_only=False)
+        clab = t["clab"].to_numpy(zero_copy_only=False)
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        n = len(vec)
+        if n == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("pred_label", pa.int64())]).empty_table()
+        # 1. dedup candidates seen in several tables (identical sim/lab)
+        o = np.lexsort((cand, vec))
+        vec, cand, clab, sim = vec[o], cand[o], clab[o], sim[o]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (vec[1:] != vec[:-1]) | (cand[1:] != cand[:-1])
+        vec, cand, clab, sim = vec[new], cand[new], clab[new], sim[new]
+        n = len(vec)
+        # 2. exact (sim desc, cand asc) order within each vec
+        o2 = np.lexsort((cand, -sim, vec))
+        vec, clab = vec[o2], clab[o2]
+        # 3. grouped rank -> top-k per vec
+        idx = np.arange(n)
+        first = np.ones(n, dtype=bool)
+        first[1:] = vec[1:] != vec[:-1]
+        rank = idx - np.maximum.accumulate(np.where(first, idx, 0))
+        vec, clab = vec[rank < TOP_K], clab[rank < TOP_K]
+        # 4. counts per (vec, label)
+        n2 = len(vec)
+        o3 = np.lexsort((clab, vec))
+        vec, clab = vec[o3], clab[o3]
+        newp = np.ones(n2, dtype=bool)
+        newp[1:] = (vec[1:] != vec[:-1]) | (clab[1:] != clab[:-1])
+        starts = np.flatnonzero(newp)
+        cnt = np.diff(np.append(starts, n2))
+        uv, ul = vec[starts], clab[starts]
+        # 5. winner: max count, tie -> smaller label (label asc is the
+        # lexsort tiebreak under equal -cnt)
+        o4 = np.lexsort((ul, -cnt, uv))
+        uv, ul = uv[o4], ul[o4]
+        win = np.ones(len(uv), dtype=bool)
+        win[1:] = uv[1:] != uv[:-1]
+        return pa.table({"vec_id": pa.array(uv[win].astype(np.int64)),
+                         "pred_label": pa.array(ul[win].astype(np.int64))})
+
+    out = partial.map_batches(add_vbucket, batch_format="pyarrow").groupby(
+        "vbucket").map_groups(vote_bucket, batch_format="pyarrow").to_pandas()
     return pa.Table.from_pandas(
         out.sort_values("vec_id").reset_index(drop=True).astype(
             {"vec_id": "int64", "pred_label": "int64"}),

@@ -11,10 +11,16 @@ Oracle-checked (DuckDB SQL twin beside each):
   doc_quality       punctuation/stopword/length quality score
   doc_langid        stopword-profile language guess, tie -> alphabetical
 
-Rows-only (not SQL-expressible; verified by pytest instead):
+Oracle-checked since round 4 (shingle/token hashing switched from
+siphash to the SQL-replicable poly+splitmix64 hash, util.poly_splitmix_vec
+— the whole chain token -> shingle hash -> 64 MinHash permutations ->
+banded LSH buckets -> candidate pairs -> exact Jaccard -> min-label
+components is replayed bit-exactly in DuckDB HUGEINT arithmetic):
   doc_minhash_dedup near-dup groups via MinHash + LSH banding
   doc_simhash       64-bit SimHash signatures
   doc_ngram_jaccard exact word-3-gram Jaccard for LSH candidate pairs
+
+Oracle-checked via a HUGEINT window-SQL twin:
   doc_fingerprint   winnowing rolling-hash document fingerprints
 
 Scale notes: every per-doc computation is a stateless ``map_batches``
@@ -44,9 +50,13 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..joins import hash_bucket_join
-from ..util import h64, h64_bytes_vec, splitmix64
+from ..util import POLY_PRIME, h64, h64_bytes_vec, poly_splitmix_vec, splitmix64
 
 TOKEN_RE = "[a-z0-9_]+"  # RE2-safe, identical semantics in pyarrow + DuckDB
+
+# seeds of the SQL-replicable shingle/token hashes (poly_splitmix_vec)
+SHINGLE_SEED = 1469598103934665603  # FNV-1a offset basis
+SIMHASH_SEED = 2870177450012600261  # splitmix64 golden-gamma derived
 STOPWORDS = {
     "de": ["der", "die", "und", "das", "ein"],
     "en": ["the", "a", "and", "of", "to"],
@@ -302,7 +312,7 @@ def _batch_shingles(texts: list[str], tok_re) -> tuple[np.ndarray, np.ndarray]:
         counts[i] = len(toks) - 2
     flat = (np.concatenate(toks_all) if toks_all
             else np.empty(0, dtype=object))
-    return counts, h64_bytes_vec(flat, "shingle")
+    return counts, poly_splitmix_vec(flat, SHINGLE_SEED)
 
 
 class ShingleSets:
@@ -591,7 +601,7 @@ class SimHasher:
         counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
         flat = (np.concatenate(toks_per_doc) if toks_per_doc
                 else np.empty(0, dtype=object))
-        hv = h64_bytes_vec(flat, "simhash")
+        hv = poly_splitmix_vec(flat, SIMHASH_SEED)
         shifts = np.arange(64, dtype=np.uint64)
         pm = np.where(((hv[:, None] >> shifts[None, :]) & 1) == 1, 1, -1
                       ).astype(np.int64)  # (tokens, 64) of +-1
@@ -777,6 +787,148 @@ FROM signed GROUP BY doc_id
 SQL_DOC_FINGERPRINT = _fingerprint_sql()
 
 
+# ---------------------------------------------------------------------------
+# SQL twins of the near-dup suite (round 4): poly+splitmix64 hashing is
+# pure mod-2^64 arithmetic, so DuckDB HUGEINT replays the ENTIRE pipeline
+# bit-exactly — token -> shingle hash -> 64 MinHash permutations (uint64
+# wraparound affine maps mod the Mersenne prime) -> order-dependent band
+# fold (xor + splitmix64, the _sql_mix CTE chain) -> candidate pairs on
+# (band, bhash) equality -> exact shingle-set Jaccard -> recursive
+# min-label components (the union-find twin). Permutation constants are
+# embedded as VALUES rows from the same seeded rng as MinHasher.
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+
+
+def _hash_sql_ctes(prefix: str, src: str, col: str, seed: int,
+                   keep: list[str]) -> tuple[list[str], str]:
+    """CTE chain computing z = poly_splitmix_vec(col, seed) (UBIGINT,
+    verified bit-exact against util.poly_splitmix_vec)."""
+    from .testdata_graph import _sql_mix
+
+    poly = (f"list_reduce(list_prepend(CAST({seed} AS HUGEINT), "
+            f"list_transform(generate_series(1, CAST(length({col}) AS BIGINT)), "
+            f"x -> CAST(ascii(substr({col}, CAST(x AS INT), 1)) AS HUGEINT))), "
+            f"(h, b) -> (h * {POLY_PRIME} + b) % {_M64}::HUGEINT)")
+    return _sql_mix(prefix, src, poly, keep)
+
+
+def _simhash_sql() -> str:
+    ctes = [
+        f"stoks AS MATERIALIZED (SELECT doc_id, "
+        f"unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok "
+        f"FROM documents)",
+    ]
+    hctes, fin = _hash_sql_ctes("sh", "stoks", "tok", SIMHASH_SEED, ["doc_id"])
+    ctes += hctes
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((z >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64))
+    ctes.append(f"votes AS (SELECT doc_id, {votes} FROM {fin} GROUP BY doc_id)")
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64))
+    ctes.append(f"sig AS (SELECT doc_id, {sig} AS s FROM votes)")
+    ctes.append(
+        f"signed AS (SELECT doc_id, CAST(CASE WHEN s >= {1 << 63}::HUGEINT "
+        f"THEN s - {_M64}::HUGEINT ELSE s END AS BIGINT) AS simhash FROM sig)")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+              "COALESCE(g.simhash, 0) AS simhash "
+              "FROM documents d LEFT JOIN signed g ON g.doc_id = d.doc_id")
+
+
+def _cand_jac_ctes() -> list[str]:
+    """Shared CTE block: documents -> shingle hashes -> MinHash bands ->
+    LSH candidate pairs -> exact Jaccard per pair ('jac')."""
+    from .testdata_graph import _sql_mix
+
+    ctes = [
+        f"jt0 AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE}') AS tk FROM documents)",
+        # pad to >= 3 tokens with '_pad' (the _batch_shingles rule)
+        "jt1 AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN tk "
+        "ELSE list_concat(tk, list_transform(generate_series(1, 3 - len(tk)),"
+        " x -> '_pad')) END AS tk FROM jt0)",
+        "jt2 AS (SELECT doc_id, tk, "
+        "unnest(generate_series(1, len(tk) - 2)) AS i FROM jt1)",
+        "jt3 AS (SELECT doc_id, tk[i] || chr(31) || tk[i+1] || chr(31) || "
+        "tk[i+2] AS s FROM jt2)",
+    ]
+    hctes, fin = _hash_sql_ctes("jh", "jt3", "s", SHINGLE_SEED, ["doc_id"])
+    ctes += hctes
+    ctes.append(f"shing AS MATERIALIZED (SELECT doc_id, z FROM {fin})")
+    mh = MinHasher()
+    perms = ", ".join(f"({p}, {int(mh.a[p])}, {int(mh.b[p])})"
+                      for p in range(MINHASH_PERMS))
+    per_band = MINHASH_PERMS // LSH_BANDS
+    ctes.append(f"perms(p, a, b) AS (SELECT * FROM (VALUES {perms}) "
+                f"t(p, a, b))")
+    # uint64-wraparound affine map then mod Mersenne — exactly the numpy
+    # (np.outer(a, sh) + b) % MERSENNE in uint64
+    ctes.append(
+        f"mvals AS MATERIALIZED (SELECT s.doc_id, pm.p, "
+        f"MIN((((CAST(pm.a AS HUGEINT) * (CAST(s.z AS HUGEINT) % {MERSENNE}))"
+        f" % {_M64}::HUGEINT + pm.b) % {_M64}::HUGEINT) % {MERSENNE}) AS sv "
+        f"FROM shing s CROSS JOIN perms pm GROUP BY s.doc_id, pm.p)")
+    ctes.append(f"bnd AS (SELECT doc_id, p // {per_band} AS band, "
+                f"p % {per_band} AS k, sv FROM mvals)")
+    ctes.append("bf0 AS (SELECT DISTINCT doc_id, band, "
+                "CAST(0 AS UBIGINT) AS bh FROM bnd)")
+    for k in range(per_band):  # bh = splitmix64(bh ^ sig[:, :, k])
+        ctes.append(
+            f"bx{k} AS (SELECT f.doc_id, f.band, "
+            f"xor(f.bh, CAST(v.sv AS UBIGINT)) AS zin "
+            f"FROM bf{k} f JOIN bnd v ON v.doc_id = f.doc_id "
+            f"AND v.band = f.band AND v.k = {k})")
+        mix, mfin = _sql_mix(f"bm{k}", f"bx{k}", "zin", ["doc_id", "band"])
+        ctes += mix
+        ctes.append(f"bf{k + 1} AS (SELECT doc_id, band, z AS bh FROM {mfin})")
+    ctes.append(
+        f"cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, "
+        f"b.doc_id AS doc_b FROM bf{per_band} a JOIN bf{per_band} b "
+        f"ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)")
+    ctes.append("shsets AS MATERIALIZED (SELECT doc_id, list(DISTINCT z) "
+                "AS sh FROM shing GROUP BY doc_id)")
+    ctes.append(
+        "jpair AS MATERIALIZED (SELECT c.doc_a, c.doc_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, "
+        "CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot "
+        "FROM cand c JOIN shsets a ON a.doc_id = c.doc_a "
+        "JOIN shsets b ON b.doc_id = c.doc_b)")
+    ctes.append("jac AS MATERIALIZED (SELECT doc_a, doc_b, "
+                "ROUND(inter / (tot - inter), 6) AS jaccard FROM jpair)")
+    return ctes
+
+
+def _ngram_jaccard_sql() -> str:
+    return ("WITH " + ",\n".join(_cand_jac_ctes())
+            + "\nSELECT CAST(doc_a AS BIGINT) AS doc_a, "
+              "CAST(doc_b AS BIGINT) AS doc_b, jaccard FROM jac")
+
+
+def _minhash_dedup_sql() -> str:
+    ctes = _cand_jac_ctes()
+    ctes.append(f"ver AS (SELECT doc_a, doc_b FROM jac "
+                f"WHERE jaccard >= {JACCARD_TAU})")
+    ctes.append("walk AS (SELECT doc_a AS a, doc_b AS b FROM ver "
+                "UNION ALL SELECT doc_b, doc_a FROM ver)")
+    # min-label transitive closure == the driver union-find's min rep
+    # (verified groups are tiny, so the closure is cheap)
+    ctes.append(
+        "reach(d, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT w.b, r.r FROM reach r JOIN walk w ON w.a = r.d)")
+    return ("WITH RECURSIVE " + ",\n".join(ctes)
+            + "\nSELECT CAST(d AS BIGINT) AS doc_id, "
+              "CAST(MIN(r) AS BIGINT) AS group_rep FROM reach GROUP BY d")
+
+
+SQL_DOC_SIMHASH = _simhash_sql()
+SQL_DOC_NGRAM_JACCARD = _ngram_jaccard_sql()
+SQL_DOC_MINHASH_DEDUP = _minhash_dedup_sql()
+
+
 TOP_TERMS_K = 20
 
 
@@ -866,4 +1018,7 @@ ORACLES = {
     "doc_vocab": SQL_DOC_VOCAB,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
 }

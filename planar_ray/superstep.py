@@ -1020,15 +1020,30 @@ class Engine:
             for p in range(len(boundaries) - 1)
         }
         # static exchange plans (see _build_exchange_plan) — only for
-        # kernels that expose a per-vertex rate (PageRank family)
+        # kernels that expose a per-vertex rate (PageRank family). The
+        # plan pins one (lsrc, ltgt) int32 pair per edge (+8 B/edge,
+        # int64 pairs beyond 2^31-vertex ranges) in the object store
+        # beside the CSR — the price of the cache-resident rate gather.
+        # PLANAR_PLAN_BYTES_MAX caps that residency: past the budget the
+        # engine falls back to scatter_raw (bit-identical results — the
+        # apply-side per-source reduction is format-independent).
         self._plan_refs = None
+        self._plan_bytes = 0
         if (getattr(kernel, "vertex_rate", None) is not None
                 and not os.environ.get("PLANAR_NO_EXCHANGE_PLAN")):
-            plan = _remote_fn(_build_exchange_plan, 1)
-            self._plan_refs = {
-                p: plan.remote(self._csr_refs[p], boundaries)
-                for p in range(len(boundaries) - 1)
-            }
+            max_range = max(boundaries[p + 1] - boundaries[p]
+                            for p in range(len(boundaries) - 1))
+            pair_bytes = 8 if max_range < 2**31 else 16
+            est = pair_bytes * graph.num_edges
+            budget = int(os.environ.get("PLANAR_PLAN_BYTES_MAX",
+                                        str(16 * 2**30)))
+            if est <= budget:
+                plan = _remote_fn(_build_exchange_plan, 1)
+                self._plan_refs = {
+                    p: plan.remote(self._csr_refs[p], boundaries)
+                    for p in range(len(boundaries) - 1)
+                }
+                self._plan_bytes = est
 
     def close(self) -> None:
         """Release engine resources: kill the stats-board actor and drop
@@ -1464,6 +1479,11 @@ class Engine:
                 "num_edges": self.graph.num_edges,
                 "globals": {k: (float(v) if v is not None else None)
                             for k, v in self.globals.items()},
+                # object-store residency beside the CSR (0 = plan gated
+                # off / kernel has none): the +8 B/edge trade documented
+                "exchange_plan_bytes": getattr(self, "_plan_bytes", 0),
+                "node_groups": (len(self._group_cuts) - 1
+                                if self._group_cuts else None),
                 "metrics": m.__dict__,
                 "lineage": {
                     "prev_superstep": superstep - 1,

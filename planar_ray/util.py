@@ -72,6 +72,51 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+POLY_PRIME = 1099511628211  # FNV64 prime — the rolling-hash base
+
+
+def poly_splitmix_vec(column, seed: int) -> np.ndarray:
+    """SQL-replicable vectorised 64-bit string hash -> uint64 array.
+
+    ``h = seed; for byte b: h = (h * POLY_PRIME + b) mod 2^64``, finished
+    with one :func:`splitmix64` mix — pure mod-2^64 arithmetic, so a
+    DuckDB oracle reproduces it bit-exactly (HUGEINT ``list_reduce`` over
+    the string's bytes + the ``_sql_mix`` splitmix chain; see
+    pipelines/docs.py ``_hash_sql_ctes``). Replaces siphash for the
+    near-dup suite's shingle/token hashes, flipping those queries from
+    rows-only to fully oracle-checked.
+
+    Vectorised over the Arrow utf-8 buffer: one numpy pass per byte
+    position (bounded by the longest string in the batch) — tokens and
+    shingles are short, so this stays a handful of C passes per batch.
+    ASCII-safe AND utf-8 safe (bytes are hashed; the SQL twin uses
+    ``ascii()`` per char, valid for the [a-z0-9_] token alphabet)."""
+    if isinstance(column, (pa.Array, pa.ChunkedArray)):
+        arr = (column.combine_chunks()
+               if isinstance(column, pa.ChunkedArray) else column)
+        arr = arr.cast(pa.large_string())
+    else:
+        vals = np.asarray(column, dtype=object)
+        if len(vals) == 0:
+            return np.empty(0, dtype=np.uint64)
+        arr = pa.array(vals, pa.large_string())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    n = len(arr)
+    L = np.diff(off)
+    h = np.full(n, seed, dtype=np.uint64)
+    starts = off[:-1]
+    prime = np.uint64(POLY_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(int(L.max()) if n else 0):
+            m = L > j
+            h[m] = h[m] * prime + data[starts[m] + j]
+    return splitmix64(h)
+
+
 def sha256_vec(column: Iterable[str | bytes]) -> list[str]:
     """Per-row sha256 hex of a string/binary column (the ingest invariant)."""
     out = []

@@ -120,3 +120,65 @@ def test_grouped_exchange_wcc_lpa_exact(tmp_root, fused):
     np.testing.assert_array_equal(_vals(flat_l)[1], _vals(grp_l)[1])
     for e in (e1, e2, e3, e4):
         e.close()
+
+
+def test_plan_budget_gate_falls_back_bitexact(tmp_root, monkeypatch):
+    """PLANAR_PLAN_BYTES_MAX below the plan estimate must disable the
+    exchange plan (scatter_raw path) without changing a single bit of
+    the PageRank result (the apply-side per-source reduction is
+    format-independent)."""
+    from planar_ray.kernels import pagerank
+
+    g = _rand_graph(tmp_root + "/gate_pr")
+    with_plan, e1 = pagerank(g, fixed_iters=6)
+    assert e1._plan_bytes > 0
+    monkeypatch.setenv("PLANAR_PLAN_BYTES_MAX", "1")
+    gated, e2 = pagerank(g, fixed_iters=6)
+    assert e2._plan_refs is None and e2._plan_bytes == 0
+    assert (_vals(with_plan)[1] == _vals(gated)[1]).all()
+    e1.close(); e2.close()
+
+
+# ---------------------------------------------------------------------------
+# round-4 SQL oracles: minhash / simhash / ngram-jaccard replayed in DuckDB
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_poly_splitmix_hash_matches_duckdb():
+    import duckdb
+
+    from planar_ray.pipelines.docs import _hash_sql_ctes
+    from planar_ray.util import poly_splitmix_vec
+
+    strs = ["hello", "", "a", "pkg\x1fmod\x1ftok", "z9_", "_pad"]
+    got = poly_splitmix_vec(strs, 12345)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')".replace("\x1f", "' || chr(31) || '")
+                    for i, s in enumerate(strs)) + ") v(i, s)")
+    ctes, fin = _hash_sql_ctes("m", "t", "s", 12345, ["i"])
+    want = con.sql("WITH " + ",\n".join(ctes)
+                   + f"\nSELECT z FROM {fin} ORDER BY i").df()["z"]
+    np.testing.assert_array_equal(got, want.to_numpy().astype(np.uint64))
+
+
+@pytest.mark.parametrize(
+    "q", ["doc_simhash", "doc_ngram_jaccard", "doc_minhash_dedup"])
+def test_neardup_suite_matches_sql_oracle(q):
+    import duckdb
+    import pandas as pd
+
+    from planar_ray.pipelines import docs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = docs.QUERIES[q](SF).to_pandas()
+    want = con.sql(docs.ORACLES[q]).df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
