@@ -40,9 +40,77 @@ def cmd_ingest(args) -> None:
     ds = rd.read_parquet(cdir)
     files = ingest.extract_files(ds)
     edges = ingest.build_edges(files)
-    g, _vdict = G.build_graph(edges, args.out, num_parts=args.parts)
-    print(json.dumps({"graph": args.out, "num_vertices": g.num_vertices,
-                      "num_edges": g.num_edges, "parts": g.num_parts}))
+    out: dict = {"graph": args.out}
+    if getattr(args, "relabel", "none") == "bfs":
+        g = _ingest_relabel_bfs(edges, args.out, args.parts, out)
+    else:
+        g, _vdict = G.build_graph(edges, args.out, num_parts=args.parts)
+    out.update({"num_vertices": g.num_vertices, "num_edges": g.num_edges,
+                "parts": g.num_parts})
+    print(json.dumps(out))
+
+
+def _ingest_relabel_bfs(edges, out_dir: str, parts: int, out: dict):
+    """End-to-end BFS relabel path (the usable form of the reference's
+    S13 planar vertex-cut, tools/graph_partitioner/partitioner/
+    csr_based_planar_vertexcut.cpp): build the raw graph under
+    ``out/pre_relabel``, rename vertices to their BFS visit rank
+    (neighbours get nearby ids), range-partition the renamed graph into
+    ``out`` — the engine's ordinary range partitioner then IS the
+    locality partitioner. Writes the composed key->new-id dictionary to
+    ``out/vertices``, the old->new rank map to ``out/relabel_rank/``,
+    and lineage + measured edge-cut fractions to ``out/relabel.json``."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from . import graph as G
+    from .partition_quality import (
+        bfs_order,
+        edge_cut_fraction,
+        range_assign,
+        relabel_graph,
+    )
+    from .util import write_json_atomic
+
+    raw_root = os.path.join(out_dir, "pre_relabel")
+    g_raw, vdict = G.build_graph(edges, raw_root, num_parts=parts)
+    rank = bfs_order(g_raw)  # offline tool pass, like the reference exe
+    g = relabel_graph(g_raw, rank, out_dir, num_parts=parts)
+    ref = ray.put(rank.astype(np.int64))
+
+    def remap_dict(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": t["key"], "v": pa.array(r[v])})
+
+    vdict.map_batches(remap_dict, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "vertices"))
+    import ray.data as rd
+
+    rd.from_arrow(pa.table({
+        "old_v": pa.array(np.arange(len(rank), dtype=np.int64)),
+        "new_v": pa.array(rank.astype(np.int64)),
+    })).write_parquet(os.path.join(out_dir, "relabel_rank"))
+    cut_before = edge_cut_fraction(g_raw.edges_dataset(),
+                                   range_assign(g_raw.boundaries))
+    cut_after = edge_cut_fraction(g.edges_dataset(),
+                                  range_assign(g.boundaries))
+    lineage = {
+        "method": "bfs",
+        "source_root": raw_root,
+        "rank_map": "relabel_rank/",
+        "num_vertices": g.num_vertices,
+        "num_edges": g.num_edges,
+        "edge_cut_before": round(cut_before, 4),
+        "edge_cut_after": round(cut_after, 4),
+    }
+    write_json_atomic(os.path.join(out_dir, "relabel.json"), lineage)
+    out["relabel"] = lineage
+    return g
 
 
 KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
@@ -126,6 +194,9 @@ def main(argv=None) -> None:
     pi.add_argument("--spec", choices=("tiny", "small", "bench"), default="small")
     pi.add_argument("--out", required=True)
     pi.add_argument("--parts", type=int, default=8)
+    pi.add_argument("--relabel", choices=("none", "bfs"), default="none",
+                    help="bfs: rename vertices to BFS visit rank so range "
+                         "partitioning becomes locality-aware (S13)")
     pi.set_defaults(fn=cmd_ingest)
 
     pr = sub.add_parser("run", help="run a kernel on a built graph")

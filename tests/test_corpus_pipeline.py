@@ -67,3 +67,52 @@ def test_determinism_across_parallelism(built, tmp_path_factory):
     a = s1.to_pandas().sort_values("v")["val"].to_numpy()
     b = s2.to_pandas().sort_values("v")["val"].to_numpy()
     assert np.allclose(a, b, atol=1e-9)
+
+# ---------------------------------------------------------------------------
+# Golden self-checks for the 10+1 rows-only corpus_* driver queries: the
+# corpus is deterministic (SMALL spec), so row counts + canonical value
+# hashes are frozen here — a regression in any corpus pipeline fails
+# pytest instead of slipping through the (oracle-less) driver rows.
+# Regenerate by running the queries and copying the printed dict ONLY
+# when a semantic change is intended and reviewed.
+# ---------------------------------------------------------------------------
+
+CORPUS_GOLDENS = {
+    "corpus_edges": (16545, "4003b897b39affd1"),
+    "corpus_pagerank": (5056, "9967329788c86d78"),
+    "corpus_wcc": (5056, "06eae781d7fcb7f8"),
+    "corpus_lpa": (5056, "c2829956102312d3"),
+    "corpus_triangles": (1, "3fcb4371c23b7246"),
+    "corpus_coloring": (5056, "58c2c2d1f2f8e187"),
+    "corpus_randomwalk": (5056, "e58cc0bad24c6ffc"),
+    "corpus_gnn": (5056, "da87fae3d44e3140"),
+    "corpus_mst": (5055, "0ab58e24dd0b96f2"),
+    "corpus_sssp": (5056, "75b49ba4aafb1a18"),
+    "corpus_wcc_precomp": (5056, "06eae781d7fcb7f8"),
+}
+
+
+def _canon_hash(tab):
+    import hashlib
+
+    import pandas as pd
+
+    df = tab.to_pandas() if not isinstance(tab, pd.DataFrame) else tab
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return len(df), hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+def test_corpus_query_goldens():
+    from planar_ray.pipelines import corpus_queries as cq
+
+    assert set(CORPUS_GOLDENS) == set(cq.QUERIES)
+    fails = {}
+    for name, fn in cq.QUERIES.items():
+        got = _canon_hash(fn(""))
+        if got != CORPUS_GOLDENS[name]:
+            fails[name] = (got, CORPUS_GOLDENS[name])
+    assert not fails, fails

@@ -182,3 +182,44 @@ def test_neardup_suite_matches_sql_oracle(q):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     want = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# cli ingest --relabel bfs: end-to-end relabel + lineage + measured win
+# ---------------------------------------------------------------------------
+
+def test_cli_ingest_relabel_bfs(tmp_root, capsys):
+    import json
+    import os
+
+    from planar_ray import cli, graph as G
+    from planar_ray.kernels import wcc
+
+    out = tmp_root + "/cli_bfs"
+    cli.main(["ingest", "--spec", "tiny", "--out", out, "--parts", "4",
+              "--relabel", "bfs"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lin = rep["relabel"]
+    assert os.path.exists(os.path.join(out, "relabel.json"))
+    assert os.path.isdir(os.path.join(out, "relabel_rank"))
+    # BFS locality must beat the hash-scrambled id ranges on the cut meter
+    assert lin["edge_cut_after"] < lin["edge_cut_before"]
+
+    # the relabeled graph runs through the ordinary engine/CLI path...
+    g_bfs = G.Graph.load(out, "fwd")
+    g_raw = G.Graph.load(os.path.join(out, "pre_relabel"), "fwd")
+    assert g_bfs.num_edges == g_raw.num_edges
+    # ...with FEWER cross-partition messages: WCC component count is
+    # identical and total in-shuffle messages drop (the round-3 measured
+    # -2.4x reproduced through the CLI artifact)
+    s_raw, e_raw = wcc(g_raw)
+    s_bfs, e_bfs = wcc(g_bfs)
+    import numpy as np
+
+    n_raw = len(np.unique(s_raw.to_pandas()["val"]))
+    n_bfs = len(np.unique(s_bfs.to_pandas()["val"]))
+    assert n_raw == n_bfs
+    msgs_raw = sum(m.in_msgs for m in e_raw.metrics)
+    msgs_bfs = sum(m.in_msgs for m in e_bfs.metrics)
+    assert msgs_bfs < msgs_raw
+    e_raw.close(); e_bfs.close()
