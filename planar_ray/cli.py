@@ -165,6 +165,22 @@ def cmd_run(args) -> None:
     print(json.dumps(out, default=float))
 
 
+def cmd_convert(args) -> None:
+    """Write block-binary payloads (the reference's S8 Pram block format,
+    blockbin.py) beside every partition's parquet; idempotent."""
+    _ensure_ray()
+    from . import blockbin, graph as G
+
+    g = G.Graph.load(args.root, args.direction)
+    metas = blockbin.convert_graph(g)
+    print(json.dumps({
+        "root": args.root, "direction": args.direction,
+        "parts": len(metas),
+        "num_edges": sum(m["num_edges"] for m in metas.values()),
+        "edge_dtype": sorted({m["edge_dtype"] for m in metas.values()}),
+    }))
+
+
 def cmd_check(args) -> None:
     """planar_check parity (reference planar/planar_check.cpp): validate
     a graph root's manifests + per-partition payloads; exit 1 on errors."""
@@ -211,6 +227,12 @@ def main(argv=None) -> None:
 
     pk = sub.add_parser("kernels", help="list kernels")
     pk.set_defaults(fn=lambda a: print("\n".join(KERNELS)))
+
+    pv = sub.add_parser("convert",
+                        help="write S8 block-binary payloads beside parquet")
+    pv.add_argument("root")
+    pv.add_argument("--direction", default="fwd")
+    pv.set_defaults(fn=cmd_convert)
 
     pc = sub.add_parser("check", help="validate on-disk graph partitions")
     pc.add_argument("root")

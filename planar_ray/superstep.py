@@ -458,8 +458,18 @@ def make_init_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: list,
 
 
 def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int):
-    """Remote task body: partition parquet -> CSR arrays (go into plasma)."""
+    """Remote task body: partition payload -> CSR arrays (go into plasma).
+
+    Default source is the delta-packed parquet; PLANAR_CSR_FORMAT=bin
+    reads the block-binary payload instead (blockbin.py — the reference's
+    S8 Pram format, written by ``cli.py convert``; raw arrays, no decode)
+    when present. Same arrays either way — parity-tested."""
     pdir = os.path.join(root, direction, f"part={part:05d}")
+    if (os.environ.get("PLANAR_CSR_FORMAT") == "bin"
+            and os.path.isdir(os.path.join(pdir, "blockbin"))):
+        from .blockbin import read_block_bin
+
+        return read_block_bin(pdir)
     csr = CSRPart.load(pdir, begin, end)
     return csr.begin, csr.end, csr.indptr, csr.indices
 
@@ -619,7 +629,15 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                     # on mid-size graphs dense skips the apply bincount
                     nz = np.flatnonzero(c)
                     if len(nz) * 5 >= (b1 - b0) * 3:
-                        per_dest[gi].append(pa.table({"dval": s, "dcnt": c}))
+                        # dcnt ships PRESENCE (0/1 per slot per source),
+                        # not edge counts: a sparse delivery is one
+                        # pre-combined row per (source, slot), so
+                        # presence makes in_msgs identical whichever
+                        # format the adaptive wire picks (and matches
+                        # dataset mode's combined-rows semantics)
+                        per_dest[gi].append(pa.table(
+                            {"dval": s,
+                             "dcnt": (c > 0).astype(np.int32)}))
                     else:
                         per_dest[gi].append(
                             k.msg_rows(nz + b0, ROLE_MSG, {"val": s[nz]}))

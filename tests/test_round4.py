@@ -223,3 +223,101 @@ def test_cli_ingest_relabel_bfs(tmp_root, capsys):
     msgs_bfs = sum(m.in_msgs for m in e_bfs.metrics)
     assert msgs_bfs < msgs_raw
     e_raw.close(); e_bfs.close()
+
+
+def test_grouped_checkpoint_resume(tmp_root):
+    """Checkpoint + resume works identically on the two-level wire: run
+    WCC grouped with per-step checkpoints, rebuild a fresh engine, and
+    resume from the last manifest to the same labels as an uninterrupted
+    run."""
+    from planar_ray.kernels.wcc import WCCKernel
+    from planar_ray.superstep import Engine
+
+    g = _rand_graph(tmp_root + "/grp_ckpt")
+    from planar_ray.graph import derive_direction
+
+    sym = derive_direction(g, "sym")
+    run_dir = tmp_root + "/grp_ckpt_run"
+    full = Engine(sym, WCCKernel(), node_groups=2, run_dir=run_dir,
+                  checkpoint_every=1)
+    state = full.run(max_supersteps=50)
+    want = _vals(state)[1]
+    full.close()
+    # fresh engine, resume from the on-disk manifests (simulated kill)
+    res = Engine(sym, WCCKernel(), node_groups=2, run_dir=run_dir,
+                 checkpoint_every=1)
+    state2 = res.run(max_supersteps=50, resume=True)
+    np.testing.assert_array_equal(want, _vals(state2)[1])
+    man = res.latest_checkpoint()
+    assert man is not None
+    res.close()
+
+
+def test_in_msgs_identical_across_wire_formats(tmp_root):
+    """in_msgs (a convergence/diagnostic stat) must not depend on the
+    wire: plan-dense, plan-sparse (gated off), flat, grouped and dataset
+    exchange all count one message per (source partition, vertex)."""
+    from planar_ray.kernels import pagerank
+
+    g = _rand_graph(tmp_root + "/imsg")
+    runs = {}
+    _, e0 = pagerank(g, fixed_iters=4)
+    runs["flat_plan"] = [m.in_msgs for m in e0.metrics]
+    _, e1 = pagerank(g, fixed_iters=4, node_groups=2)
+    runs["grouped_plan"] = [m.in_msgs for m in e1.metrics]
+    import os
+    os.environ["PLANAR_PLAN_BYTES_MAX"] = "1"
+    try:
+        _, e2 = pagerank(g, fixed_iters=4)
+        runs["flat_raw"] = [m.in_msgs for m in e2.metrics]
+        _, e3 = pagerank(g, fixed_iters=4, node_groups=2)
+        runs["grouped_raw"] = [m.in_msgs for m in e3.metrics]
+    finally:
+        del os.environ["PLANAR_PLAN_BYTES_MAX"]
+    _, e4 = pagerank(g, fixed_iters=4, exchange="dataset")
+    runs["dataset"] = [m.in_msgs for m in e4.metrics]
+    want = runs["flat_plan"]
+    assert all(v == want for v in runs.values()), runs
+    for e in (e0, e1, e2, e3, e4):
+        e.close()
+
+
+# ---------------------------------------------------------------------------
+# S8 block-binary payloads (blockbin.py)
+# ---------------------------------------------------------------------------
+
+def test_blockbin_roundtrip_and_engine_parity(tmp_root, monkeypatch):
+    from planar_ray import blockbin
+    from planar_ray.kernels import pagerank
+
+    g = _rand_graph(tmp_root + "/bbin")
+    metas = blockbin.convert_graph(g)
+    assert len(metas) == g.num_parts
+    # roundtrip: bin payload == parquet payload, bit for bit
+    for p in range(g.num_parts):
+        a = g.load_csr(p)
+        b = blockbin.load_csr_bin(g, p)
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        assert a.indices.dtype == b.indices.dtype == np.uint32
+    # engine reads the bin payload when asked — identical PageRank
+    want, e1 = pagerank(g, fixed_iters=5)
+    monkeypatch.setenv("PLANAR_CSR_FORMAT", "bin")
+    got, e2 = pagerank(g, fixed_iters=5)
+    assert (_vals(want)[1] == _vals(got)[1]).all()
+    e1.close(); e2.close()
+
+
+def test_blockbin_detects_corruption(tmp_root):
+    import os
+
+    from planar_ray import blockbin
+
+    g = _rand_graph(tmp_root + "/bbin_bad")
+    blockbin.convert_graph(g)
+    deg = os.path.join(g.part_dir(0), "blockbin", "degree.bin")
+    raw = bytearray(open(deg, "rb").read())
+    raw[0] ^= 0xFF  # flip a degree byte
+    open(deg, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="disagrees|mismatch"):
+        blockbin.read_block_bin(g.part_dir(0))
