@@ -41,6 +41,16 @@ OFFSET_RATIO = 64  # the reference default (planar/partitioner.cpp:196)
 _DTYPES = {"uint32": np.uint32, "int64": np.int64}
 
 
+def _sample_offsets(indptr: np.ndarray, ratio: int) -> np.ndarray:
+    """Strided offset samples + the final offset, WITHOUT duplicating it
+    when ratio divides num_vertices — exactly int64[ceil(n/R)+1] entries,
+    the documented index.bin layout."""
+    samples = indptr[::ratio]
+    if (len(indptr) - 1) % ratio != 0:
+        samples = np.concatenate([samples, indptr[-1:]])
+    return samples.astype(np.int64)
+
+
 def write_block_bin(part_dir: str, begin: int, end: int,
                     indptr: np.ndarray, indices: np.ndarray,
                     offset_ratio: int = OFFSET_RATIO) -> dict:
@@ -49,8 +59,7 @@ def write_block_bin(part_dir: str, begin: int, end: int,
     os.makedirs(bdir, exist_ok=True)
     n = end - begin
     deg = np.diff(indptr).astype(np.uint32)
-    samples = np.concatenate(
-        [indptr[::offset_ratio], indptr[-1:]]).astype(np.int64)
+    samples = _sample_offsets(indptr, offset_ratio)
     dtype = "uint32" if indices.dtype == np.uint32 else "int64"
     deg.tofile(os.path.join(bdir, "degree.bin"))
     samples.tofile(os.path.join(bdir, "index.bin"))
@@ -85,7 +94,7 @@ def read_block_bin(part_dir: str, verify: bool = True):
         r = meta["offset_ratio"]
         samples = np.fromfile(os.path.join(bdir, "index.bin"),
                               dtype=np.int64)
-        want = np.concatenate([indptr[::r], indptr[-1:]])
+        want = _sample_offsets(indptr, r)
         if len(samples) != len(want) or not (samples == want).all():
             raise ValueError(
                 f"{bdir}: sampled offset index disagrees with degree "

@@ -182,12 +182,16 @@ class ImportExtractor:
                     dst_o.append(dst[keep])
                 if lang not in UNANCHORED_LANGS:
                     break  # anchored: at most one match per line
-                # drop the consumed match from each still-matching line
-                # and re-extract — the findall semantics of the oracle
+                # findall semantics: scanning resumes AFTER the match end,
+                # so keep only each still-matching line's suffix past its
+                # first match and re-extract. (Splicing the match out with
+                # replace_substring_regex would concatenate the text around
+                # it and could fabricate a match findall never sees, e.g.
+                # "requi<match>re('y')" -> "require('y')".)
                 gidx = vi
-                sub = pc.replace_substring_regex(
-                    sub.filter(pa.array(valid)), pattern=pat,
-                    replacement="", max_replacements=1)
+                sub = pc.list_element(
+                    pc.split_pattern_regex(sub.filter(pa.array(valid)),
+                                           pattern=pat, max_splits=1), 1)
                 seq += 1
         if rows_o:
             row_all = np.concatenate(rows_o)

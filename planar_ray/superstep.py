@@ -469,7 +469,16 @@ def _load_csr_arrays(root: str, direction: str, part: int, begin: int, end: int)
             and os.path.isdir(os.path.join(pdir, "blockbin"))):
         from .blockbin import read_block_bin
 
-        return read_block_bin(pdir)
+        b, e, indptr, indices = read_block_bin(pdir)
+        if (b, e) != (begin, end):
+            # A self-consistent but STALE payload (graph re-ingested in
+            # place after `cli convert`, boundaries shifted) would silently
+            # compute scatter targets against the wrong vertex ranges.
+            raise ValueError(
+                f"{pdir}/blockbin: vertex range [{b},{e}) disagrees with "
+                f"the graph manifest [{begin},{end}) — stale blockbin "
+                f"payload; re-run `cli convert` or unset PLANAR_CSR_FORMAT")
+        return b, e, indptr, indices
     csr = CSRPart.load(pdir, begin, end)
     return csr.begin, csr.end, csr.indptr, csr.indices
 
@@ -668,10 +677,11 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
                     if lo == hi:
                         continue
                     b0, b1 = int(boundaries[q0]), int(boundaries[q1])
-                    s = np.bincount(tgt[lo:hi] - b0, weights=vals[lo:hi],
+                    t_loc = tgt[lo:hi] - b0
+                    s = np.bincount(t_loc, weights=vals[lo:hi],
                                     minlength=b1 - b0)
-                    nz = np.flatnonzero(
-                        np.bincount(tgt[lo:hi] - b0, minlength=b1 - b0))
+                    nz = np.flatnonzero(np.bincount(t_loc,
+                                                    minlength=b1 - b0))
                     per_dest[gi].append(k.msg_rows(nz + b0, ROLE_MSG,
                                                    {"val": s[nz]}))
                     if grouped:

@@ -80,3 +80,37 @@ def test_multi_require_per_line_matches_oracle():
         ("orgX/projY/src/pkg_a/multi.js", "orgX/projY/src/pkg_a/mod_c.js"),
         ("orgX/projY/src/pkg_a/multi.js", "stdlib/std_fs"),
     }
+
+
+def test_unanchored_rescan_cannot_fabricate_match():
+    """findall resumes scanning AFTER a match; splicing the match out
+    instead would concatenate the surrounding text and fabricate a match
+    the oracle never sees (e.g. 'requi<match>re(..)' -> 'require(..)').
+    The extractor must agree with the findall oracle on such content."""
+    import pyarrow as pa
+
+    tab = pa.table({
+        "repo": ["orgX/projY"] * 2,
+        "path": ["src/pkg_a/adv.js", "src/pkg_a/mod_b.js"],
+        "commit": ["c0"] * 2,
+        "lang": ["js", "js"],
+        "content": [
+            # splice-out would fabricate require('pkg_a/mod_c');
+            # findall sees only pkg_a/mod_b
+            "requirequire('pkg_a/mod_b')re('pkg_a/mod_c')\n"
+            # nested-quote shape: match is the INNER require
+            "require('a require('pkg_a/mod_b') b')\n",
+            "exports.b = 1\n",
+        ],
+    })
+    ds = rd.from_arrow(tab)
+    files = ingest.extract_files(ds, concurrency=1)
+    edges = ingest.build_edges(files, num_partitions=2)
+    got = {
+        (r["src_key"], r["dst_key"], r["kind"])
+        for r in edges.to_pandas().to_dict("records")
+    }
+    want = ingest.oracle_edges(tab)
+    assert got == want
+    dsts = {d for s, d, _ in got if s.endswith("adv.js")}
+    assert dsts == {"orgX/projY/src/pkg_a/mod_b.js"}

@@ -321,3 +321,51 @@ def test_blockbin_detects_corruption(tmp_root):
     open(deg, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="disagrees|mismatch"):
         blockbin.read_block_bin(g.part_dir(0))
+
+
+def test_blockbin_index_layout_exact(tmp_path):
+    """index.bin must hold exactly ceil(n/R)+1 offsets — no duplicated
+    final entry when R divides n (review finding: indptr[::R] already ends
+    at indptr[n] in that case)."""
+    import os
+
+    from planar_ray import blockbin
+
+    for n in (128, 130, 64, 1):  # R|n and not
+        rng = np.random.default_rng(n)
+        deg = rng.integers(0, 5, n)
+        indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+        indices = rng.integers(0, 50, int(indptr[-1])).astype(np.uint32)
+        pdir = str(tmp_path / f"p{n}")
+        blockbin.write_block_bin(pdir, 0, n, indptr, indices,
+                                 offset_ratio=64)
+        raw = np.fromfile(os.path.join(pdir, "blockbin", "index.bin"),
+                          dtype=np.int64)
+        assert len(raw) == -(-n // 64) + 1, n
+        b, e, ip, ix = blockbin.read_block_bin(pdir)
+        np.testing.assert_array_equal(ip, indptr)
+        np.testing.assert_array_equal(ix, indices)
+
+
+def test_blockbin_stale_range_rejected(tmp_root, monkeypatch):
+    """A self-consistent blockbin payload whose vertex range disagrees
+    with the manifest (stale after an in-place re-ingest) must raise, not
+    silently misroute scatter targets."""
+    import json
+    import os
+
+    from planar_ray import blockbin
+    from planar_ray.superstep import _load_csr_arrays
+
+    g = _rand_graph(tmp_root + "/bbin_stale")
+    blockbin.convert_graph(g)
+    monkeypatch.setenv("PLANAR_CSR_FORMAT", "bin")
+    meta = json.load(open(os.path.join(g.part_dir(0), "blockbin",
+                                       "meta.json")))
+    b, e = meta["begin"], meta["end"]
+    # matching manifest range: loads fine
+    got = _load_csr_arrays(g.root, g.direction, 0, b, e)
+    assert (got[0], got[1]) == (b, e)
+    # boundaries shifted since the convert: must refuse
+    with pytest.raises(ValueError, match="stale blockbin"):
+        _load_csr_arrays(g.root, g.direction, 0, b + 1, e + 1)
