@@ -165,6 +165,23 @@ def cmd_run(args) -> None:
     print(json.dumps(out, default=float))
 
 
+def cmd_ingest_csv(args) -> None:
+    """CSV edge list -> partitioned graph — the reference's primary
+    converter entry point (graph_convertor_exec, graph_converter.cpp:
+    329-369), flags mirrored: -i/-o/-sep/-read_head/-n_edges/
+    -not_reorder_vertices."""
+    _ensure_ray()
+    from . import ingest
+
+    g = ingest.graph_from_csv(
+        args.i, args.out, sep=args.sep, header=args.read_head,
+        n_edges=args.n_edges, num_parts=args.parts,
+        reorder=not args.not_reorder_vertices)
+    print(json.dumps({"graph": args.out, "num_vertices": g.num_vertices,
+                      "num_edges": g.num_edges, "parts": g.num_parts,
+                      "reordered": not args.not_reorder_vertices}))
+
+
 def cmd_convert(args) -> None:
     """Write block-binary payloads (the reference's S8 Pram block format,
     blockbin.py) beside every partition's parquet; idempotent."""
@@ -214,6 +231,21 @@ def main(argv=None) -> None:
                     help="bfs: rename vertices to BFS visit rank so range "
                          "partitioning becomes locality-aware (S13)")
     pi.set_defaults(fn=cmd_ingest)
+
+    px = sub.add_parser("ingest-csv",
+                        help="CSV edge list -> partitioned graph "
+                             "(reference graph_convertor_exec)")
+    px.add_argument("--i", required=True, help="input csv file/dir")
+    px.add_argument("--out", required=True)
+    px.add_argument("--sep", default=",")
+    px.add_argument("--read-head", action="store_true",
+                    help="first line is a header")
+    px.add_argument("--n-edges", type=int, default=None,
+                    help="read at most N edges (big-graph variant)")
+    px.add_argument("--parts", type=int, default=8)
+    px.add_argument("--not-reorder-vertices", action="store_true",
+                    help="keep raw vertex ids (holes stay holes)")
+    px.set_defaults(fn=cmd_ingest_csv)
 
     pr = sub.add_parser("run", help="run a kernel on a built graph")
     pr.add_argument("--kernel", choices=KERNELS, required=True)

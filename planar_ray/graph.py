@@ -161,9 +161,11 @@ def _map_edges_broadcast(edges_keys: Dataset, vdict: Dataset) -> Dataset:
     # truncate and mis-match; Arrow hashes the full buffer.
     import ray
 
-    tbl = pa.concat_tables(
-        ray.get(vdict.select_columns(["key", "v"]).to_arrow_refs())
-    )
+    tabs = ray.get(vdict.select_columns(["key", "v"]).to_arrow_refs())
+    # groupby().map_groups upstreams can emit zero-row blocks with an
+    # EMPTY schema — drop them or concat_tables raises on the mismatch
+    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    tbl = pa.concat_tables(tabs)
     ref = ray.put((tbl["key"].combine_chunks(), tbl["v"].combine_chunks()))
 
     def resolve(t: pa.Table) -> pa.Table:

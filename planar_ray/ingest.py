@@ -54,8 +54,8 @@ IMPORT_RE = {
 # ONE pass suffices; UNANCHORED patterns (js require) can match several
 # times on a line (e.g. `a = require('x'); b = require('y')`) and the
 # oracle's findall sees ALL of them — those languages loop: extract the
-# first match, strip it with replace_substring_regex(max_replacements=1)
-# from the still-matching lines, re-extract until no line matches.
+# first match, keep each still-matching line's suffix past that match
+# (split_pattern_regex), re-extract until no line matches.
 LINE_RE = {
     "py": r"^import\s+(?P<tok>[\w.]+)\s*$",
     "js": r"require\('(?P<tok>[^']+)'\)",
@@ -404,3 +404,79 @@ def oracle_edges(corpus: pa.Table) -> set[tuple[str, str, str]]:
             if src != dst:
                 out.add((src, dst, kind))
     return out
+
+
+# ---------------------------------------------------------------------------
+# raw CSV edge lists (the reference converter's primary input format)
+# ---------------------------------------------------------------------------
+
+def edges_from_csv(path: str, sep: str = ",", header: bool = False,
+                   n_edges: int | None = None) -> Dataset:
+    """CSV edge list -> (src, dst) int64 Dataset.
+
+    The parse stage of the reference's ``ConvertEdgelistCSV2EdgelistBin``
+    (/root/reference/tools/graph_converter/graph_converter.cpp:61-104):
+    ``sep``-separated vertex-id pairs, one edge per line, optional header
+    line (``read_head``), optional edge-count bound (the streaming
+    big-graph variant's ``-n_edges``, graph_converter.cpp:178-280 — Ray
+    Data streams natively, the bound is just a ``limit``).
+    """
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    read_opts = (pacsv.ReadOptions() if header
+                 else pacsv.ReadOptions(column_names=["src", "dst"]))
+    ds = rd.read_csv(path, read_options=read_opts,
+                     parse_options=pacsv.ParseOptions(delimiter=sep))
+
+    def first_two(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(0).cast(pa.int64()),
+                         "dst": t.column(1).cast(pa.int64())})
+
+    ds = ds.map_batches(first_two, batch_format="pyarrow")
+    return ds.limit(n_edges) if n_edges is not None else ds
+
+
+def graph_from_csv(path: str, root: str, sep: str = ",",
+                   header: bool = False, n_edges: int | None = None,
+                   num_parts: int = 8, reorder: bool = True):
+    """CSV edge list -> partitioned on-disk graph (S1/S2 end to end).
+
+    Reference semantics (graph_converter.cpp:104-170): drop self-loops
+    FIRST, then compact the surviving endpoints to dense ids ``[0, n)``
+    (vertices appearing only in self-loops get no id); multi-edges are
+    KEPT (the converter never dedups). ``reorder=False`` keeps the raw
+    ids, holes and all (``FLAGS_not_reorder_vertices``).
+
+    The reference assigns compacted ids in first-appearance order over a
+    thread-racy buffer — the permutation is not deterministic even there,
+    so ours is the order-preserving rank (:func:`graph.dense_rank_int`):
+    ``key1 < key2  =>  id1 < id2``, reproducible and oracle-friendly.
+    """
+    from . import graph as G
+
+    edges = edges_from_csv(path, sep=sep, header=header, n_edges=n_edges)
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    ).materialize()
+    if not reorder:
+        return G.graph_from_id_edges(edges, root, num_parts=num_parts,
+                                     dedup=False)
+
+    def as_keys(t: pa.Table) -> pa.Table:
+        k = pa.concat_arrays([t["src"].combine_chunks().cast(pa.int64()),
+                              t["dst"].combine_chunks().cast(pa.int64())])
+        return pa.table({"key": k})
+
+    vdict = G.dense_rank_int(edges.map_batches(
+        as_keys, batch_format="pyarrow")).materialize()
+    num_vertices = vdict.count()
+    ek = edges.map_batches(
+        lambda t: pa.table({"src_key": t["src"], "dst_key": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    edges_ids = G.map_edges_to_ids(ek, vdict, dedup=False,
+                                   num_vertices=num_vertices)
+    return G.partition_edges(edges_ids, root, num_vertices, num_parts,
+                             "fwd", dedup_in_parts=False)
