@@ -38,13 +38,18 @@ from .corpus import SEP
 from .joins import hash_bucket_join
 from .util import sha256_vec
 
-# one compiled extraction regex per language (oracle_edges + parity tests)
+# one compiled extraction regex per language (oracle_edges + parity tests).
+# Whitespace and token classes EXCLUDE \n, so a match can never span
+# lines: full-content findall is then exactly the per-line extraction
+# below (property-tested in tests/test_ingest.py) — an import statement
+# is line-shaped by contract.
+_WS = r"[ \t\r\f\v]"
 IMPORT_RE = {
-    "py": re.compile(r"^import\s+([\w.]+)\s*$", re.M),
-    "js": re.compile(r"require\('([^']+)'\)", re.M),
-    "java": re.compile(r"^import\s+([\w.]+);\s*$", re.M),
-    "go": re.compile(r"^import\s+\"([^\"]+)\"\s*$", re.M),
-    "rs": re.compile(r"^use\s+([\w:]+);\s*$", re.M),
+    "py": re.compile(rf"^import{_WS}+([\w.]+){_WS}*$", re.M),
+    "js": re.compile(r"require\('([^'\n]+)'\)"),
+    "java": re.compile(rf"^import{_WS}+([\w.]+);{_WS}*$", re.M),
+    "go": re.compile(rf"^import{_WS}+\"([^\"\n]+)\"{_WS}*$", re.M),
+    "rs": re.compile(rf"^use{_WS}+([\w:]+);{_WS}*$", re.M),
 }
 
 # the same patterns as PER-LINE RE2 (pyarrow.compute) — import statements
@@ -58,9 +63,9 @@ IMPORT_RE = {
 # (split_pattern_regex), re-extract until no line matches.
 LINE_RE = {
     "py": r"^import\s+(?P<tok>[\w.]+)\s*$",
-    "js": r"require\('(?P<tok>[^']+)'\)",
+    "js": r"require\('(?P<tok>[^'\n]+)'\)",
     "java": r"^import\s+(?P<tok>[\w.]+);\s*$",
-    "go": r"^import\s+\"(?P<tok>[^\"]+)\"\s*$",
+    "go": r"^import\s+\"(?P<tok>[^\"\n]+)\"\s*$",
     "rs": r"^use\s+(?P<tok>[\w:]+);\s*$",
 }
 UNANCHORED_LANGS = {"js"}  # languages whose pattern can repeat on a line

@@ -114,3 +114,41 @@ def test_unanchored_rescan_cannot_fabricate_match():
     assert got == want
     dsts = {d for s, d, _ in got if s.endswith("adv.js")}
     assert dsts == {"orgX/projY/src/pkg_a/mod_b.js"}
+
+
+def test_extractor_equals_findall_oracle_property():
+    """PROPERTY: for arbitrary content, the vectorised per-line extractor
+    emits exactly the (kind, dst) sequence of the full-content findall
+    oracle, in order. Holds because the IMPORT_RE classes exclude \\n (a
+    match can never span lines) and the unanchored rescan keeps the
+    suffix past each match (findall's continue-after-match)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from planar_ray.ingest import IMPORT_RE, ImportExtractor, _resolve_token
+
+    FRAGS = [
+        "require('", "')", "re('", "'", ")", "(", "import ", "import",
+        " ", "\n", "\t", ";", '"', "use ", "requi", "x", ".", "/", ":",
+        "std_fs", "pkg_a.mod_b", "pkg_a/mod_b", "ext__orgA__projB",
+        "ghost_m", "a.b.c", "\r\n",
+    ]
+
+    @given(st.lists(st.sampled_from(FRAGS), max_size=25),
+           st.sampled_from(["js", "py", "go", "rs", "java"]))
+    @settings(max_examples=300, deadline=None)
+    def check(frags, lang):
+        content = "".join(frags)
+        tab = pa.table({
+            "repo": ["r/p"], "path": ["f"], "commit": ["c0"],
+            "lang": [lang], "content": [content],
+        })
+        got = ImportExtractor()(tab)["imports"][0].as_py()
+        want = []
+        for tok in IMPORT_RE[lang].findall(content):
+            res = _resolve_token(tok, lang)
+            if res is not None:
+                want.append({"kind": res[0], "dst": res[1]})
+        assert got == want, (content, got, want)
+
+    check()
