@@ -190,6 +190,67 @@ def q_g1_degree(sf_dir: str) -> pa.Table:
     )
 
 
+CSV_DST_MOD = 1024  # csv_degree edge rule: dst = o_orderkey % MOD
+
+
+def q_csv_degree(sf_dir: str) -> pa.Table:
+    """S1/S2 exercised THROUGH the raw-CSV converter path
+    (ingest.graph_from_csv): the orders table is streamed out as a
+    comma-separated edge list (src=o_custkey, dst=o_orderkey % MOD; one
+    shard per block, header per shard), read back with the CSV ingest
+    (self-loop drop, order-preserving dense compaction, multi-edges
+    kept), and out-degrees come from the partitioned CSRs. The SQL twin
+    reproduces the compaction with dense_rank() OVER (ORDER BY key)."""
+    import shutil
+    import tempfile
+
+    from .. import ingest
+
+    work = tempfile.mkdtemp(prefix="planar_csvdeg_")
+    try:
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        def to_edges(t: pa.Table) -> pa.Table:
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": t["o_custkey"].cast(pa.int64()),
+                "dst": pa.array((ok % CSV_DST_MOD).astype(np.int64)),
+            })
+
+        edges = orders.map_batches(to_edges, batch_format="pyarrow")
+        csv_dir = os.path.join(work, "csv")
+        edges.write_csv(csv_dir)
+        g = ingest.graph_from_csv(csv_dir, os.path.join(work, "g"),
+                                  header=True, num_parts=4)
+        deg = degrees_dataset(g).to_pandas().sort_values("v")
+        return pa.table({
+            "v": pa.array(deg["v"].to_numpy().astype(np.int64)),
+            "outdeg": pa.array(deg["outdeg"].to_numpy().astype(np.int64)),
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_CSV_DEGREE = f"""
+WITH e AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % {CSV_DST_MOD} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey <> o_orderkey % {CSV_DST_MOD}
+),
+k AS (
+  SELECT DISTINCT key
+  FROM (SELECT src AS key FROM e UNION ALL SELECT dst AS key FROM e)
+),
+m AS (
+  SELECT key, CAST(dense_rank() OVER (ORDER BY key) - 1 AS BIGINT) AS v
+  FROM k
+)
+SELECT m.v AS v, CAST(COUNT(e.src) AS BIGINT) AS outdeg
+FROM m LEFT JOIN e ON e.src = m.key
+GROUP BY m.v
+"""
+
+
 def _pagerank_table(sf_dir: str, which: str, fmt) -> pa.Table:
     g, iddict = _build(sf_dir, which)
     state, _eng = pagerank(g, fixed_iters=PR_ITERS)
@@ -873,6 +934,7 @@ SQL_G2_GNN = _gnn_sql()
 
 QUERIES = {
     "g1_degree": q_g1_degree,
+    "csv_degree": q_csv_degree,
     "g2_hop_extrema": q_g2_hop_extrema,
     "g1_pagerank": q_g1_pagerank,
     "g2_pagerank": q_g2_pagerank,
@@ -894,6 +956,7 @@ QUERIES = {
 
 ORACLES = {
     "g1_degree": SQL_G1_DEGREE,
+    "csv_degree": SQL_CSV_DEGREE,
     "g2_hop_extrema": SQL_G2_HOP_EXTREMA,
     "g1_pagerank": SQL_G1_PAGERANK,
     "g2_pagerank": SQL_G2_PAGERANK,
