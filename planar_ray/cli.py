@@ -173,13 +173,22 @@ def cmd_ingest_csv(args) -> None:
     _ensure_ray()
     from . import ingest
 
+    from . import graph as G
+
     g = ingest.graph_from_csv(
         args.i, args.out, sep=args.sep, header=args.read_head,
         n_edges=args.n_edges, num_parts=args.parts,
         reorder=not args.not_reorder_vertices)
+    dirs = ["fwd"]
+    # reference store_strategy: outgoing = out-edge CSRs only (our fwd),
+    # incoming = in-edge CSRs (rev), unconstrained = both on disk
+    if args.store_strategy in ("incoming", "unconstrained"):
+        G.derive_direction(g, "rev")
+        dirs.append("rev")
     print(json.dumps({"graph": args.out, "num_vertices": g.num_vertices,
                       "num_edges": g.num_edges, "parts": g.num_parts,
-                      "reordered": not args.not_reorder_vertices}))
+                      "reordered": not args.not_reorder_vertices,
+                      "directions": dirs}))
 
 
 def cmd_convert(args) -> None:
@@ -245,6 +254,9 @@ def main(argv=None) -> None:
     px.add_argument("--parts", type=int, default=8)
     px.add_argument("--not-reorder-vertices", action="store_true",
                     help="keep raw vertex ids (holes stay holes)")
+    px.add_argument("--store-strategy", default="outgoing",
+                    choices=("outgoing", "incoming", "unconstrained"),
+                    help="which edge direction(s) to store as CSRs")
     px.set_defaults(fn=cmd_ingest_csv)
 
     pr = sub.add_parser("run", help="run a kernel on a built graph")

@@ -107,3 +107,25 @@ def test_cli_ingest_csv(csv_file, tmp_path, capsys):
     cli.main(["check", out])
     chk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert chk["ok"] is True
+
+
+def test_cli_ingest_csv_store_strategy(csv_file, tmp_path, capsys):
+    """store_strategy=unconstrained also materialises the in-edge (rev)
+    CSRs; rev out-degrees are the fwd in-degrees (total edge count equal)."""
+    from planar_ray import cli
+    from planar_ray.graph import Graph, degrees_dataset
+
+    out = str(tmp_path / "gs")
+    cli.main(["ingest-csv", "--i", csv_file, "--out", out, "--parts", "2",
+              "--store-strategy", "unconstrained"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["directions"] == ["fwd", "rev"]
+    fwd, rev = Graph.load(out, "fwd"), Graph.load(out, "rev")
+    assert rev.num_edges == fwd.num_edges
+    fdeg = degrees_dataset(fwd).to_pandas().set_index("v")["outdeg"]
+    rdeg = degrees_dataset(rev).to_pandas().set_index("v")["outdeg"]
+    edges = fwd.edges_dataset().to_pandas()
+    indeg = edges["dst"].value_counts()
+    for v, n in indeg.items():
+        assert rdeg[v] == n
+    assert int(fdeg.sum()) == int(rdeg.sum())
