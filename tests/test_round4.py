@@ -369,3 +369,19 @@ def test_blockbin_stale_range_rejected(tmp_root, monkeypatch):
     # boundaries shifted since the convert: must refuse
     with pytest.raises(ValueError, match="stale blockbin"):
         _load_csr_arrays(g.root, g.direction, 0, b + 1, e + 1)
+
+
+def test_group_auto_gate_engages_and_matches_flat(tmp_root, monkeypatch):
+    """PLANAR_GROUP_AUTO_P: above the threshold the engine must pick the
+    grouped wire by itself (G = alive node count -> 1 here) and stay
+    bit-identical to the explicitly-flat run."""
+    from planar_ray.kernels import pagerank
+
+    g = _rand_graph(tmp_root + "/auto_gate", parts=6)
+    flat, e0 = pagerank(g, fixed_iters=4)  # default: P=6 <= 32, flat
+    assert e0._group_cuts is None
+    monkeypatch.setenv("PLANAR_GROUP_AUTO_P", "4")
+    grouped, e1 = pagerank(g, fixed_iters=4)
+    assert e1._group_cuts is not None  # auto-gate engaged (single node -> G=1)
+    np.testing.assert_array_equal(_vals(flat)[1], _vals(grouped)[1])
+    e0.close(); e1.close()
