@@ -480,11 +480,24 @@ def run_scaling() -> dict:
         # a mem ceiling > 1 means the box's throttle level CHANGED between
         # the lo and hi runs (per-task time should only rise with
         # concurrency) — the pair's conditions weren't comparable, so
-        # don't derive an eff-vs-ceiling from it
-        steady = mceil is not None and mceil <= 1.0
+        # don't derive an eff-vs-ceiling from it. The probes bracket each
+        # LEVEL but can miss a throttle shift DURING one (observed: lo
+        # batches drifting 18.6 -> 23.0 s within a run while both probes
+        # land in the same phase), so also require each level's timed
+        # batches to stay flat (max/min <= 1.25, first batch dropped as
+        # residual warm-up).
+        def _drift(level: dict):
+            bs = (level.get("batch_secs") or [])
+            bs = bs[1:] if len(bs) > 2 else bs
+            return round(max(bs) / max(min(bs), 1e-9), 3) if bs else None
+
+        dlo, dhi = _drift(lo), _drift(hi)
+        flat = all(d is not None and d <= 1.25 for d in (dlo, dhi))
+        steady = mceil is not None and mceil <= 1.0 and flat
         pairs.append({"lo": lo, "hi": hi, "eff": eff, "eff_mean": eff_mean,
                       "ceiling_eff": ceil,
                       "mem_ceiling_eff": mceil,
+                      "level_drift": [dlo, dhi],
                       "steady_conditions": steady,
                       "eff_vs_ceiling": (round(min(eff / mceil, 1.0), 3)
                                          if steady else None)})
@@ -510,6 +523,7 @@ def run_scaling() -> dict:
         "best_eff": best["eff"],
         "ceiling_eff": med["ceiling_eff"],
         "mem_ceiling_eff": med["mem_ceiling_eff"],
+        "level_drift": med["level_drift"],
         "steady_conditions": med["steady_conditions"],
         "eff_vs_ceiling": med["eff_vs_ceiling"],
     }
@@ -558,9 +572,13 @@ def _write_scaling_md(r: dict) -> None:
                f"cluster where each of the 4N nodes brings its own memory "
                f"system)."
                if r.get("steady_conditions")
-               else " A memory ceiling > 1 means the hypervisor throttle "
-                    "level CHANGED between the lo and hi runs — the pair's "
-                    "levels did not see comparable conditions."),
+               else " NOT STEADY: either a memory ceiling > 1 (throttle "
+                    "level changed between the lo and hi runs) or "
+                    "intra-level batch drift > 1.25 (throttle shifted "
+                    "DURING a level) — the pair's levels did not see "
+                    "comparable conditions."),
+            f"Intra-level batch drift (max/min of timed batches, first "
+            f"dropped): {r.get('level_drift')}.",
             "",
         ]
     with open(path, "a") as f:

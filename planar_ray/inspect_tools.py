@@ -98,5 +98,25 @@ def check_graph(root: str, direction: str | None = None) -> dict:
                 if int(deg.sum()) != len(src):
                     err(f"{d}/part{p}: degree sum != rows (offset rebuild "
                         f"would be inconsistent)")
+            bdir = os.path.join(root, d, f"part={p:05d}", "blockbin")
+            if os.path.isdir(bdir):
+                # S8 payload beside the parquet: self-verify (degree
+                # prefix sums vs sampled index) AND cross-check the
+                # vertex range + edge count against the manifest — a
+                # stale payload is the failure the engine loader rejects
+                from .blockbin import read_block_bin
+
+                pstat["blockbin"] = True
+                try:
+                    bb, be, _ip, bix = read_block_bin(
+                        os.path.join(root, d, f"part={p:05d}"))
+                    if (bb, be) != (begin, end):
+                        err(f"{d}/part{p}: blockbin range [{bb},{be}) != "
+                            f"manifest [{begin},{end}) (stale payload)")
+                    if len(bix) != claimed:
+                        err(f"{d}/part{p}: blockbin edge count {len(bix)} "
+                            f"!= manifest {claimed}")
+                except Exception as e:
+                    err(f"{d}/part{p}: blockbin invalid ({e})")
     report["ok"] = not report["errors"]
     return report

@@ -385,3 +385,24 @@ def test_group_auto_gate_engages_and_matches_flat(tmp_root, monkeypatch):
     assert e1._group_cuts is not None  # auto-gate engaged (single node -> G=1)
     np.testing.assert_array_equal(_vals(flat)[1], _vals(grouped)[1])
     e0.close(); e1.close()
+
+
+def test_check_graph_validates_blockbin(tmp_root):
+    """cli-check must verify S8 payloads beside the parquet: a stale
+    vertex range (meta rewritten) and a corrupt degree file both fail."""
+    import json
+    import os
+
+    from planar_ray import blockbin
+    from planar_ray.inspect_tools import check_graph
+
+    g = _rand_graph(tmp_root + "/bbin_check")
+    blockbin.convert_graph(g)
+    assert check_graph(g.root)["ok"]
+    mpath = os.path.join(g.part_dir(1), "blockbin", "meta.json")
+    meta = json.load(open(mpath))
+    meta["begin"] += 1; meta["end"] += 1
+    json.dump(meta, open(mpath, "w"))
+    rep = check_graph(g.root)
+    assert not rep["ok"]
+    assert any("stale payload" in e for e in rep["errors"])
