@@ -488,7 +488,7 @@ def run_scaling() -> dict:
         # residual warm-up).
         def _drift(level: dict):
             bs = (level.get("batch_secs") or [])
-            bs = bs[1:] if len(bs) > 2 else bs
+            bs = bs[1:] if len(bs) > 1 else bs  # first = residual warm-up
             return round(max(bs) / max(min(bs), 1e-9), 3) if bs else None
 
         dlo, dhi = _drift(lo), _drift(hi)

@@ -71,6 +71,9 @@ def write_block_bin(part_dir: str, begin: int, end: int,
         "num_edges": int(len(indices)),
         "offset_ratio": offset_ratio,
         "edge_dtype": dtype,
+        # exact ceil(n/R)+1 layout; absent = legacy writer that
+        # duplicated the final offset when R | n (reader accepts both)
+        "index_layout": "exact",
     }
     write_json_atomic(os.path.join(bdir, "meta.json"), meta)
     return meta
@@ -95,7 +98,13 @@ def read_block_bin(part_dir: str, verify: bool = True):
         samples = np.fromfile(os.path.join(bdir, "index.bin"),
                               dtype=np.int64)
         want = _sample_offsets(indptr, r)
-        if len(samples) != len(want) or not (samples == want).all():
+        ok = len(samples) == len(want) and (samples == want).all()
+        if not ok and "index_layout" not in meta:
+            # payload from a legacy writer: final offset duplicated
+            # when R | n — accept rather than misreport corruption
+            legacy = np.concatenate([indptr[::r], indptr[-1:]])
+            ok = len(samples) == len(legacy) and (samples == legacy).all()
+        if not ok:
             raise ValueError(
                 f"{bdir}: sampled offset index disagrees with degree "
                 f"prefix sums (corrupt degree.bin or index.bin)")

@@ -181,10 +181,18 @@ def cmd_ingest_csv(args) -> None:
         reorder=not args.not_reorder_vertices)
     dirs = ["fwd"]
     # reference store_strategy: outgoing = out-edge CSRs only (our fwd),
-    # incoming = in-edge CSRs (rev), unconstrained = both on disk
+    # incoming = in-edge CSRs ONLY (rev; the fwd build intermediate is
+    # removed), unconstrained = both on disk
     if args.store_strategy in ("incoming", "unconstrained"):
         G.derive_direction(g, "rev")
         dirs.append("rev")
+    if args.store_strategy == "incoming":
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(args.out, "fwd"), ignore_errors=True)
+        os.remove(os.path.join(args.out, "meta_fwd.json"))
+        dirs = ["rev"]
     print(json.dumps({"graph": args.out, "num_vertices": g.num_vertices,
                       "num_edges": g.num_edges, "parts": g.num_parts,
                       "reordered": not args.not_reorder_vertices,

@@ -132,6 +132,7 @@ def map_edges_to_ids(
     edges_keys: Dataset, vdict: Dataset, num_partitions: int = 16,
     dedup: bool = True, num_vertices: int | None = None,
     broadcast_threshold: int = BROADCAST_VDICT_MAX,
+    drop_self_loops: bool = True,
 ) -> Dataset:
     """(src_key, dst_key) -> (src, dst) int64.
 
@@ -139,16 +140,21 @@ def map_edges_to_ids(
     vertices, two hash joins beyond. ``dedup=False`` skips the exact
     multi-edge dedup shuffle — used by build_graph, whose partition step
     dedups inside the per-partition write (one shuffle instead of two).
+    ``drop_self_loops=False`` skips the post-map filter pass — for
+    callers that already filtered on keys (the dictionary is injective,
+    so no NEW self-loops can appear in id space).
     """
     n = num_vertices if num_vertices is not None else vdict.count()
     if n <= broadcast_threshold:
         e = _map_edges_broadcast(edges_keys, vdict)
     else:
         e = _map_edges_join(edges_keys, vdict, num_partitions)
-    # self-loop guard (reference converter behavior)
-    e = e.map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])), batch_format="pyarrow"
-    )
+    if drop_self_loops:
+        # self-loop guard (reference converter behavior)
+        e = e.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+        )
     if not dedup:
         return e
     grouped = e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
@@ -164,7 +170,14 @@ def _map_edges_broadcast(edges_keys: Dataset, vdict: Dataset) -> Dataset:
     tabs = ray.get(vdict.select_columns(["key", "v"]).to_arrow_refs())
     # groupby().map_groups upstreams can emit zero-row blocks with an
     # EMPTY schema — drop them or concat_tables raises on the mismatch
-    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        # empty dictionary -> every edge is unresolvable (inner-join
+        # semantics): emit a typed empty (src, dst) per batch
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        return edges_keys.map_batches(lambda t: empty,
+                                      batch_format="pyarrow")
     tbl = pa.concat_tables(tabs)
     ref = ray.put((tbl["key"].combine_chunks(), tbl["v"].combine_chunks()))
 
@@ -231,8 +244,11 @@ def pick_boundaries(edges: Dataset, num_vertices: int, num_parts: int) -> np.nda
 
     hist = edges.map_batches(partial_hist, batch_format="pyarrow").to_pandas()
     per_bucket = np.zeros(max(nb, 1), dtype=np.int64)
-    np.add.at(per_bucket, hist["b"].to_numpy(dtype=np.int64),
-              hist["n"].to_numpy(dtype=np.int64))
+    if len(hist) and "b" in hist.columns:
+        # zero-row inputs can bypass the UDF entirely (hist keeps the
+        # input schema) — an empty histogram is a valid empty graph
+        np.add.at(per_bucket, hist["b"].to_numpy(dtype=np.int64),
+                  hist["n"].to_numpy(dtype=np.int64))
     cum = np.cumsum(per_bucket)
     total = int(cum[-1]) if len(cum) else 0
     target = max(1, total // num_parts)
@@ -546,15 +562,19 @@ def dense_rank_int(keys: Dataset, col: str = "key", bucket_width: int = 1 << 12)
         distinct.groupby("rbucket").aggregate(Count(alias_name="n"))
         .to_pandas().sort_values("rbucket")
     )
-    nb = int(counts["rbucket"].max()) + 1 if len(counts) else 1
-    per = np.zeros(nb, dtype=np.int64)
-    per[counts["rbucket"].to_numpy(dtype=np.int64)] = counts["n"].to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(per)[:-1]])
+    # offsets over OBSERVED buckets only (one row per non-empty bucket —
+    # O(V/W) driver memory). A dense array indexed by bucket id would
+    # scale with MAX(key)/W instead (OOM on sparse 64-bit keys) and wrap
+    # around on negative keys; the mapping handles both (floor-division
+    # buckets sort correctly for negatives).
+    bvals = counts["rbucket"].to_numpy(dtype=np.int64)
+    boffs = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+    offsets_map = dict(zip(bvals.tolist(), boffs.tolist()))
 
     def rank_group(t: pa.Table) -> pa.Table:
         b = int(t["rbucket"][0].as_py())
         k = np.sort(t[col].to_numpy(zero_copy_only=False))
-        v = offsets[b] + np.arange(len(k), dtype=np.int64)
+        v = offsets_map[b] + np.arange(len(k), dtype=np.int64)
         return pa.table({"key": pa.array(k), "v": pa.array(v)})
 
     return distinct.groupby("rbucket").map_groups(rank_group, batch_format="pyarrow")

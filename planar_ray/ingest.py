@@ -27,6 +27,7 @@ preserved bit-for-bit against an independent recomputation.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -42,8 +43,10 @@ from .util import sha256_vec
 # Whitespace and token classes EXCLUDE \n, so a match can never span
 # lines: full-content findall is then exactly the per-line extraction
 # below (property-tested in tests/test_ingest.py) — an import statement
-# is line-shaped by contract.
-_WS = r"[ \t\r\f\v]"
+# is line-shaped by contract. NOTE the class is RE2's \s minus \n
+# ([ \t\f\r]); Python's \s would also admit \v, which RE2 \s does NOT —
+# including it here would diverge from the vectorised extractor.
+_WS = r"[ \t\r\f]"
 IMPORT_RE = {
     "py": re.compile(rf"^import{_WS}+([\w.]+){_WS}*$", re.M),
     "js": re.compile(r"require\('([^'\n]+)'\)"),
@@ -465,7 +468,27 @@ def graph_from_csv(path: str, root: str, sep: str = ",",
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
         batch_format="pyarrow",
     ).materialize()
+    if edges.count() == 0:
+        # all lines were self-loops (or no data rows): the converter's
+        # contract is an EMPTY graph, not a crash in the id mapping
+        import ray.data as rd
+
+        os.makedirs(root, exist_ok=True)
+        empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                        "dst": pa.array([], pa.int64())}))
+        return G.partition_edges(empty, root, 0, 1, "fwd",
+                                 dedup_in_parts=False)
     if not reorder:
+        neg = edges.map_batches(
+            lambda t: pa.table({"m": pa.array([min(
+                int(pc.min(t["src"]).as_py() or 0),
+                int(pc.min(t["dst"]).as_py() or 0))])}),
+            batch_format="pyarrow",
+        ).min("m")
+        if int(neg) < 0:
+            raise ValueError(
+                "not_reorder_vertices requires non-negative vertex ids "
+                f"(saw {int(neg)}); drop the flag to compact them")
         return G.graph_from_id_edges(edges, root, num_parts=num_parts,
                                      dedup=False)
 
@@ -481,7 +504,10 @@ def graph_from_csv(path: str, root: str, sep: str = ",",
         lambda t: pa.table({"src_key": t["src"], "dst_key": t["dst"]}),
         batch_format="pyarrow",
     )
+    # drop_self_loops=False: already filtered on raw keys above, and the
+    # rank dictionary is injective so id space cannot create new ones
     edges_ids = G.map_edges_to_ids(ek, vdict, dedup=False,
-                                   num_vertices=num_vertices)
+                                   num_vertices=num_vertices,
+                                   drop_self_loops=False)
     return G.partition_edges(edges_ids, root, num_vertices, num_parts,
                              "fwd", dedup_in_parts=False)

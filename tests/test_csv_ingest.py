@@ -129,3 +129,50 @@ def test_cli_ingest_csv_store_strategy(csv_file, tmp_path, capsys):
     for v, n in indeg.items():
         assert rdeg[v] == n
     assert int(fdeg.sum()) == int(rdeg.sum())
+
+
+def test_graph_from_csv_negative_and_sparse_ids(tmp_path):
+    """Dense compaction must handle negative ids (order-preserving, no
+    bucket wraparound) and huge sparse ids (driver memory scales with
+    observed buckets, not max id)."""
+    p = tmp_path / "neg.csv"
+    p.write_text("-5,3\n-5,10000000000000\n3,-5\n")
+    g = ingest.graph_from_csv(str(p), str(tmp_path / "g"), num_parts=2)
+    assert g.num_vertices == 3  # keys -5 < 3 < 1e13 -> ids 0,1,2
+    got = sorted(_graph_edge_pairs(g))
+    assert got == [(0, 1), (0, 2), (1, 0)]
+    # raw-id mode cannot represent negatives: clear error, not corruption
+    with pytest.raises(ValueError, match="non-negative"):
+        ingest.graph_from_csv(str(p), str(tmp_path / "g2"), num_parts=2,
+                              reorder=False)
+
+
+def test_graph_from_csv_all_self_loops_empty_graph(tmp_path):
+    p = tmp_path / "loops.csv"
+    p.write_text("5,5\n7,7\n")
+    g = ingest.graph_from_csv(str(p), str(tmp_path / "g"), num_parts=2)
+    assert g.num_vertices == 0
+    assert g.num_edges == 0
+
+
+def test_cli_ingest_csv_incoming_only(csv_file, tmp_path, capsys):
+    """incoming = in-edge CSRs ONLY (the fwd build intermediate removed),
+    matching the reference's store_strategy semantics."""
+    import os
+
+    from planar_ray import cli
+    from planar_ray.graph import Graph
+
+    out = str(tmp_path / "gi")
+    cli.main(["ingest-csv", "--i", csv_file, "--out", out, "--parts", "2",
+              "--store-strategy", "incoming"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["directions"] == ["rev"]
+    assert not os.path.exists(os.path.join(out, "meta_fwd.json"))
+    assert not os.path.isdir(os.path.join(out, "fwd"))
+    g = Graph.load(out, "rev")
+    want_pairs, vid = _oracle(LINES)
+    assert g.num_edges == len(want_pairs)
+    cli.main(["check", out])
+    chk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert chk["ok"] is True and list(chk["directions"]) == ["rev"]

@@ -131,7 +131,7 @@ def test_extractor_equals_findall_oracle_property():
         "require('", "')", "re('", "'", ")", "(", "import ", "import",
         " ", "\n", "\t", ";", '"', "use ", "requi", "x", ".", "/", ":",
         "std_fs", "pkg_a.mod_b", "pkg_a/mod_b", "ext__orgA__projB",
-        "ghost_m", "a.b.c", "\r\n",
+        "ghost_m", "a.b.c", "\r\n", "\v", "\f",
     ]
 
     @given(st.lists(st.sampled_from(FRAGS), max_size=25),

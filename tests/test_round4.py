@@ -406,3 +406,35 @@ def test_check_graph_validates_blockbin(tmp_root):
     rep = check_graph(g.root)
     assert not rep["ok"]
     assert any("stale payload" in e for e in rep["errors"])
+
+
+def test_blockbin_reads_legacy_index_layout(tmp_path):
+    """Payloads written before the exact ceil(n/R)+1 layout duplicated
+    the final offset when R | n and carry no index_layout field — the
+    reader must accept them, not report corruption."""
+    import json
+    import os
+
+    from planar_ray import blockbin
+
+    n = 128  # 64 | n: legacy layout differs from exact
+    rng = np.random.default_rng(0)
+    deg = rng.integers(0, 4, n)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    indices = rng.integers(0, 50, int(indptr[-1])).astype(np.uint32)
+    pdir = str(tmp_path / "p")
+    blockbin.write_block_bin(pdir, 0, n, indptr, indices, offset_ratio=64)
+    bdir = os.path.join(pdir, "blockbin")
+    # rewrite as a LEGACY payload: duplicated final offset, no layout field
+    legacy = np.concatenate([indptr[::64], indptr[-1:]]).astype(np.int64)
+    legacy.tofile(os.path.join(bdir, "index.bin"))
+    mpath = os.path.join(bdir, "meta.json")
+    meta = json.load(open(mpath)); del meta["index_layout"]
+    json.dump(meta, open(mpath, "w"))
+    b, e, ip, ix = blockbin.read_block_bin(pdir)
+    np.testing.assert_array_equal(ip, indptr)
+    # but a CLAIMED-exact payload with the legacy index is corrupt
+    meta["index_layout"] = "exact"
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(ValueError, match="disagrees"):
+        blockbin.read_block_bin(pdir)
