@@ -438,3 +438,54 @@ def test_blockbin_reads_legacy_index_layout(tmp_path):
     json.dump(meta, open(mpath, "w"))
     with pytest.raises(ValueError, match="disagrees"):
         blockbin.read_block_bin(pdir)
+
+
+def test_blockbin_roundtrip_property(tmp_path):
+    """PROPERTY: write_block_bin/read_block_bin roundtrip bit-exactly for
+    arbitrary degree sequences, vertex counts and offset ratios (incl.
+    R | n, n=0, all-zero degrees)."""
+    from hypothesis import given, settings, strategies as st
+
+    from planar_ray import blockbin
+
+    case = [0]
+
+    @given(st.integers(0, 300), st.sampled_from([1, 3, 64, 256]),
+           st.integers(0, 6), st.integers(0, 2**31))
+    @settings(max_examples=60, deadline=None)
+    def check(n, ratio, dmax, seed):
+        rng = np.random.default_rng(seed)
+        deg = rng.integers(0, dmax + 1, n)
+        indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+        indices = rng.integers(0, max(n, 1) * 2,
+                               int(indptr[-1])).astype(np.uint32)
+        case[0] += 1
+        pdir = str(tmp_path / f"c{case[0]}")
+        blockbin.write_block_bin(pdir, 0, n, indptr, indices,
+                                 offset_ratio=ratio)
+        b, e, ip, ix = blockbin.read_block_bin(pdir)
+        assert (b, e) == (0, n)
+        np.testing.assert_array_equal(ip, indptr)
+        np.testing.assert_array_equal(ix, indices)
+
+    check()
+
+
+def test_dense_rank_int_property(ray_session):
+    """PROPERTY: dense_rank_int == rank in the sorted distinct key set,
+    for arbitrary int64 keys (negative, sparse 64-bit, duplicated)."""
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from planar_ray.graph import dense_rank_int
+
+    @given(st.lists(st.integers(-2**40, 2**62), min_size=1, max_size=60))
+    @settings(max_examples=12, deadline=None)
+    def check(keys):
+        ds = rd.from_arrow(pa.table({"key": pa.array(keys, pa.int64())}))
+        got = dense_rank_int(ds).to_pandas().sort_values("key")
+        uniq = sorted(set(keys))
+        assert got["key"].tolist() == uniq
+        assert got["v"].tolist() == list(range(len(uniq)))
+
+    check()
