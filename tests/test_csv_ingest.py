@@ -176,3 +176,17 @@ def test_cli_ingest_csv_incoming_only(csv_file, tmp_path, capsys):
     cli.main(["check", out])
     chk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert chk["ok"] is True and list(chk["directions"]) == ["rev"]
+
+
+def test_edges_from_csv_gzip(tmp_path):
+    """Compressed edge lists (.csv.gz — the common public-dump format)
+    stream through the same reader transparently."""
+    import gzip
+
+    p = tmp_path / "edges.csv.gz"
+    with gzip.open(str(p), "wt") as f:
+        f.write("\n".join(LINES) + "\n")
+    g = ingest.graph_from_csv(str(p), str(tmp_path / "g"), num_parts=2)
+    want_pairs, vid = _oracle(LINES)
+    assert g.num_vertices == len(vid)
+    assert g.num_edges == len(want_pairs)
