@@ -126,7 +126,12 @@ def cmd_run(args) -> None:
     common = dict(run_dir=args.run_dir, checkpoint_every=args.checkpoint_every)
     out: dict = {"kernel": args.kernel}
     if args.kernel == "pagerank":
-        _state, eng = K.pagerank(g, resume=args.resume, **common)
+        # --iters caps supersteps (an operator-controlled interruption
+        # point: checkpoint, stop, later `--resume` continues to
+        # convergence — the north rule's resume-mid-iteration path)
+        _state, eng = K.pagerank(
+            g, resume=args.resume,
+            max_supersteps=args.iters or 200, **common)
     elif args.kernel == "pagerank_ref":
         _state, eng = K.pagerank_reference(g, iters=args.iters or 10)
     elif args.kernel == "wcc":

@@ -489,3 +489,34 @@ def test_dense_rank_int_property(ray_session):
         assert got["v"].tolist() == list(range(len(uniq)))
 
     check()
+
+
+def test_cli_run_checkpoint_resume_e2e(tmp_root, capsys):
+    """North-rule resume path at the CLI surface: cap supersteps with
+    --iters (operator interruption), then --resume continues from the
+    checkpoint to convergence rather than restarting."""
+    import json as _json
+
+    from planar_ray import cli
+
+    out = tmp_root + "/cli_resume_g"
+    run_dir = tmp_root + "/cli_resume_run"
+    cli.main(["ingest", "--spec", "tiny", "--out", out, "--parts", "4"])
+    capsys.readouterr()
+    # uninterrupted reference run
+    cli.main(["run", "--kernel", "pagerank", "--graph", out])
+    full = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # interrupted: 3 supersteps, checkpoint every step
+    cli.main(["run", "--kernel", "pagerank", "--graph", out,
+              "--run-dir", run_dir, "--checkpoint-every", "1",
+              "--iters", "3"])
+    part = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert part["supersteps"] == 3
+    # resume: continues (strictly fewer steps than the full run) and
+    # converges to the same delta regime
+    cli.main(["run", "--kernel", "pagerank", "--graph", out,
+              "--run-dir", run_dir, "--checkpoint-every", "1", "--resume"])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res["supersteps"] < full["supersteps"]
+    assert res["supersteps"] + 3 <= full["supersteps"] + 1
+    assert res["metrics_tail"][-1]["max_delta"] <= 1e-6
