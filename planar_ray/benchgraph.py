@@ -16,6 +16,9 @@ from ray.data import Dataset
 
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    # deliberately NOT util.splitmix64: this salted variant defines the
+    # benchmark GRAPHS themselves — changing it would silently change
+    # every logged scaling/crossover measurement's input. Frozen.
     x = (x + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)

@@ -119,10 +119,20 @@ KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
 
 def cmd_run(args) -> None:
     _ensure_ray()
+    import os
+
     from . import graph as G
     from . import kernels as K
 
-    g = G.Graph.load(args.graph, "fwd")
+    if os.path.exists(os.path.join(args.graph, "meta_fwd.json")):
+        g = G.Graph.load(args.graph, "fwd")
+    elif os.path.exists(os.path.join(args.graph, "meta_rev.json")):
+        # incoming-only store (`ingest-csv --store-strategy incoming`):
+        # materialise fwd once from the transposed rev rows so every
+        # kernel (out-degree readers included) runs against this root
+        g = G.derive_direction(G.Graph.load(args.graph, "rev"), "fwd")
+    else:
+        raise SystemExit(f"no graph store (meta_*.json) under {args.graph}")
     common = dict(run_dir=args.run_dir, checkpoint_every=args.checkpoint_every)
     out: dict = {"kernel": args.kernel}
     if args.kernel == "pagerank":

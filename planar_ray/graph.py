@@ -33,6 +33,7 @@ WCC/LPA want ``sym``, reference-mode PageRank wants ``rev``.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -115,8 +116,12 @@ def build_vertex_dict(edges_keys: Dataset, out_dir: str, num_partitions: int = 1
         lr = t["lrank"].to_numpy(zero_copy_only=False)
         return pa.table({"key": t["key"], "v": pa.array(offsets[b] + lr)})
 
-    vdict = ranked.map_batches(finalize, batch_format="pyarrow")
+    # materialize BEFORE the write: write_parquet would otherwise run
+    # the finalize plan once for the files and every downstream consumer
+    # of the returned (still-lazy) dataset would run it again
+    vdict = ranked.map_batches(finalize, batch_format="pyarrow").materialize()
     vdir = os.path.join(out_dir, "vertices")
+    shutil.rmtree(vdir, ignore_errors=True)  # never append beside stale files
     vdict.write_parquet(vdir)
     return vdict
 
@@ -418,6 +423,24 @@ class CSRPart:
         loc = v - self.begin
         return self.indptr[loc + 1] - self.indptr[loc]
 
+    def intra_local(self) -> tuple[np.ndarray, np.ndarray]:
+        """(src_loc, dst_loc) of the partition's INTRA-partition edges in
+        local ids — the edge list the ASP locals-fixpoint kernels walk
+        every superstep. Cached on the instance: the CSR is immutable and
+        instances are memoised per (run_id, part) in superstep's
+        process cache, so the O(E_p) mask+repeat runs once per worker
+        process per run instead of once per superstep."""
+        c = getattr(self, "_intra", None)
+        if c is None:
+            loc = (self.indices >= self.begin) & (self.indices < self.end)
+            n = self.end - self.begin
+            src_loc = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(self.indptr))[loc]
+            dst_loc = self.indices[loc].astype(np.int64) - self.begin
+            c = (src_loc, dst_loc)
+            self._intra = c
+        return c
+
 
 def partition_edges(
     edges_ids: Dataset,
@@ -616,12 +639,34 @@ def graph_from_id_edges(
 
 
 def derive_direction(g: Graph, direction: str, num_parts: int | None = None) -> Graph:
-    """Materialise (once, cached on disk) the rev/sym variant of a graph."""
+    """Materialise (once, cached on disk) the rev/sym variant of a graph.
+
+    Works from a rev-only store too (``ingest-csv --store-strategy
+    incoming`` keeps just the in-edge CSRs): the rev rows are the fwd
+    edges transposed, so fwd orientation is recovered exactly (multi-
+    edges included) and partition_edges re-derives any direction from it.
+    """
     meta = os.path.join(g.root, f"meta_{direction}.json")
     if os.path.exists(meta):
         return Graph.load(g.root, direction)
-    base = Graph.load(g.root, "fwd") if g.direction != "fwd" else g
+    if g.direction == "fwd":
+        base, edges = g, g.edges_dataset()
+    elif os.path.exists(os.path.join(g.root, "meta_fwd.json")):
+        base = Graph.load(g.root, "fwd")
+        edges = base.edges_dataset()
+    elif g.direction == "rev":
+        base = g
+        edges = g.edges_dataset().map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow",
+        )
+    else:
+        # a sym store holds both orientations of every edge — the original
+        # fwd orientation is not recoverable from it
+        raise ValueError(
+            f"cannot derive '{direction}' at {g.root}: no fwd store and the "
+            f"'{g.direction}' store does not determine edge orientation")
     return partition_edges(
-        base.edges_dataset(), g.root, g.num_vertices,
+        edges, g.root, g.num_vertices,
         num_parts or base.num_parts, direction,
     )

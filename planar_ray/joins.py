@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
-from .util import h64_bytes_vec
+from .util import h64_bytes_vec, splitmix64
 
 DEFAULT_BUCKETS = 64
 MAX_SHUFFLE_BLOCKS = 64  # sort tasks scale with input blocks; cap overhead
@@ -47,10 +47,8 @@ def coalesce(ds: Dataset, max_blocks: int = MAX_SHUFFLE_BLOCKS) -> Dataset:
 def _bucket_of(col: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        # splitmix64-style scramble so range-clustered ids spread evenly
-        v = (v ^ (v >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
-        v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
-        return ((v ^ (v >> 31)) % np.uint64(buckets)).astype(np.int64)
+        # shared splitmix64 scramble so range-clustered ids spread evenly
+        return (splitmix64(v) % np.uint64(buckets)).astype(np.int64)
     return (h64_bytes_vec(col.to_pylist(), "join") % buckets).astype(np.int64)
 
 

@@ -47,6 +47,12 @@ class GNNKernel(Kernel):
         "delta": pa.float64(),
     }
 
+    # wire format: messages carry only the aggregated feature partials —
+    # deg/delta would otherwise ship as all-null columns per message row
+    @property
+    def message_columns(self) -> list:
+        return [f"f{j}" for j in range(FDIM)]
+
     def __init__(self, layers: int = 2, seed: int = 17):
         self.layers = layers
         self.seed = seed

@@ -25,6 +25,7 @@ from ray.data import Dataset
 
 from ..graph import Graph
 from ..joins import hash_bucket_join
+from ..util import splitmix64
 
 
 def _crossing(edges: Dataset, labs: Dataset) -> Dataset:
@@ -85,8 +86,9 @@ def _min_choice(crossing: Dataset) -> Dataset:
 
     def add_bucket(t: pa.Table) -> pa.Table:
         c = t["comp"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = (c ^ (c >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        b = (c % np.uint64(MIN_CHOICE_BUCKETS)).astype(np.int64)
+        # shared mixer; bucket choice only places work, min-choice result
+        # is bucket-invariant (each comp lands wholly in one bucket)
+        b = (splitmix64(c) % np.uint64(MIN_CHOICE_BUCKETS)).astype(np.int64)
         return t.append_column("bucket", pa.array(b))
 
     return both.map_batches(add_bucket, batch_format="pyarrow").groupby(

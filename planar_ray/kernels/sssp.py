@@ -96,11 +96,9 @@ class AspSSSPKernel(SSSPKernel):
         dist = np.full(n, INF, dtype=np.int64)
         dist[v - begin] = old
         np.minimum.at(dist, v - begin, best[v - begin])
-        csr = ctx["csr"]
-        loc = (csr.indices >= begin) & (csr.indices < end)
-        src_loc = np.repeat(np.arange(n, dtype=np.int64),
-                            np.diff(csr.indptr))[loc]
-        dst_loc = csr.indices[loc] - begin
+        # instance-cached on the memoised CSRPart (one O(E_p) build per
+        # worker per run, not per superstep)
+        src_loc, dst_loc = ctx["csr"].intra_local()
         while True:
             before = dist[dst_loc].copy()
             cand = dist[src_loc]

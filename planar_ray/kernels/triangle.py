@@ -28,6 +28,7 @@ from ray.data.aggregate import Count
 
 from ..graph import Graph
 from ..joins import hash_bucket_join
+from ..util import splitmix64
 
 
 def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -56,9 +57,10 @@ def canonical_edges(edges: Dataset, buckets: int = 64) -> Dataset:
         a = np.minimum(s, d)
         b = np.maximum(s, d)
         a, b = _dedup_pairs(a, b)  # local combiner
-        h = a.astype(np.uint64)
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h ^= b.astype(np.uint64) * np.uint64(0x94D049BB133111EB)
+        # pair hash via the shared property-tested mixer (bucket choice
+        # only affects work placement, never the dedup result)
+        with np.errstate(over="ignore"):
+            h = splitmix64(splitmix64(a.astype(np.uint64)) ^ b.astype(np.uint64))
         bucket = (h % np.uint64(buckets)).astype(np.int64)
         return pa.table({"a": pa.array(a), "b": pa.array(b),
                          "bucket": pa.array(bucket)})

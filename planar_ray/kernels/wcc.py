@@ -106,12 +106,10 @@ class AspWCCKernel(WCCKernel):
         lab = np.full(n, INF, dtype=np.int64)
         lab[v - begin] = old
         np.minimum.at(lab, v - begin, best[v - begin])
-        csr = ctx["csr"]
-        # intra-partition edge list (computed per call; O(E_p) vectorised)
-        loc = (csr.indices >= begin) & (csr.indices < end)
-        src_loc = np.repeat(np.arange(n, dtype=np.int64),
-                            np.diff(csr.indptr))[loc]
-        dst_loc = csr.indices[loc] - begin
+        # intra-partition edge list — instance-cached on the memoised
+        # CSRPart, so the O(E_p) rebuild happens once per worker, not
+        # once per superstep
+        src_loc, dst_loc = ctx["csr"].intra_local()
         while True:
             before = lab[dst_loc].copy()
             np.minimum.at(lab, dst_loc, lab[src_loc])

@@ -273,14 +273,26 @@ def q_ann_knn_label(sf_dir: str, plan: str | None = None) -> pa.Table:
         o1 = np.argsort(I, axis=1, kind="stable")
         S, I, L = (np.take_along_axis(x, o1, axis=1) for x in (S, I, L))
         o2 = np.argsort(-S, axis=1, kind="stable")
+        S = np.take_along_axis(S, o2, axis=1)[:, :TOP_K]
         L = np.take_along_axis(L, o2, axis=1)[:, :TOP_K]
-        nlab = int(L.max()) + 1 if L.size else 1
+        # when the corpus has fewer than TOP_K candidates, -inf self-masked
+        # slots survive the cut — they are NOT votes (the SQL twin joins on
+        # vec_id <> vec_id and never sees them); the LSH plan already
+        # filters non-finite sims the same way
+        fin = np.isfinite(S)
+        nlab = int(L[fin].max()) + 1 if fin.any() else 1
         counts = np.zeros((b, nlab), dtype=np.int64)
-        np.add.at(counts, (np.repeat(np.arange(b), L.shape[1]), L.ravel()), 1)
+        rows = np.repeat(np.arange(b), L.shape[1])[fin.ravel()]
+        np.add.at(counts, (rows, L.ravel()[fin.ravel()]), 1)
         preds = counts.argmax(axis=1)  # first max = smallest label (tie-break)
-        return pa.table({"vec_id": pa.array(vid), "pred_label": pa.array(preds)})
+        keep = fin.any(axis=1)  # a candidate-less vector casts no vote row
+        return pa.table({"vec_id": pa.array(vid[keep]),
+                         "pred_label": pa.array(preds[keep])})
 
     out = _read_emb(sf_dir).map_batches(vote, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:  # every vector candidate-less: typed empty result
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pred_label": pa.array([], pa.int64())})
     return pa.Table.from_pandas(out.sort_values("vec_id").reset_index(drop=True),
                                 preserve_index=False)
 

@@ -143,8 +143,18 @@ def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
         lambda t: pa.table({"src": t["src"], "dst": t["v"]}), batch_format="pyarrow"
     )
     os.makedirs(root, exist_ok=True)
+    # the reload gate is (meta_fwd.json AND iddict dir) — stage the
+    # dictionary in a tmp dir and rename it into place LAST, so a crash
+    # anywhere mid-build can never leave a state that passes the gate
+    # with a partial (or, on rebuild, duplicated) dictionary
+    import shutil
+
+    shutil.rmtree(dict_dir, ignore_errors=True)
+    tmp_dir = dict_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    iddict.write_parquet(tmp_dir)
     g = partition_edges(mapped, root, num_vertices, num_parts=4, direction="fwd")
-    iddict.write_parquet(dict_dir)
+    os.rename(tmp_dir, dict_dir)  # commit marker
     return g, iddict
 
 

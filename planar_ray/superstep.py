@@ -835,7 +835,11 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
     if is_gbl.any() or csr_arrays is not None:
         local_ctx = dict(ctx)
     if csr_arrays is not None:
-        local_ctx["csr"] = CSRPart(*csr_arrays)
+        # memoise the wrapper per (run_id, part): the arrays are the same
+        # zero-copy plasma views every call, and a stable instance lets
+        # CSRPart cache derived structures (intra_local) across supersteps
+        local_ctx["csr"] = _cache_get(run_id, "csrpart", part,
+                                      lambda: CSRPart(*csr_arrays))
     if is_gbl.any():
         gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl]
                  for n in names if n in wire}
@@ -1533,7 +1537,28 @@ class Engine:
         if best is None:
             return None
         man = read_json(best[1])
-        if man["kernel"] != self.kernel.name:
+        # lineage gate: the manifest records graph identity for exactly
+        # this check — state from another kernel, graph build, direction
+        # or partitioning must not be adopted (stale 'part'/'v' columns
+        # would silently land labels in wrong slots after a re-partition)
+        expect = {
+            "kernel": self.kernel.name,
+            "direction": self.kernel.direction,
+            "graph_root": self.graph.root,
+            "num_vertices": self.graph.num_vertices,
+            "num_edges": self.graph.num_edges,
+        }
+        stale = [k for k, v in expect.items() if man.get(k) != v]
+        want_sha = hash(tuple(self._apply_boundaries)) & 0xFFFFFFFF
+        if (man.get("lineage") or {}).get("boundaries_sha") != want_sha:
+            stale.append("boundaries_sha")
+        if stale:
+            import warnings
+
+            warnings.warn(
+                f"ignoring checkpoint {best[1]}: lineage mismatch on "
+                f"{stale} (graph rebuilt/re-partitioned?) — starting fresh",
+                stacklevel=2)
             return None
         self.globals = {k: v for k, v in (man.get("globals") or {}).items()}
         state = rd.read_parquet(
