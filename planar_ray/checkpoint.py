@@ -47,6 +47,14 @@ class PhaseLog:
         man = os.path.join(d, "manifest.json")
         if os.path.exists(man):
             os.remove(man)  # invalidate before touching data
+        # committing phase k makes every LATER phase of a previous run
+        # over this dir stale — drop them, or a kill before this run
+        # reaches phase k+1 would let latest() resume from the old run's
+        # phase k+1 data (silently wrong derived state)
+        for e in os.listdir(self.run_dir):
+            if e.startswith("phase_") and e > f"phase_{phase:03d}":
+                shutil.rmtree(os.path.join(self.run_dir, e),
+                              ignore_errors=True)
         for name, ds in datasets.items():
             out = os.path.join(d, name)
             shutil.rmtree(out, ignore_errors=True)
@@ -66,8 +74,10 @@ class PhaseLog:
             man = os.path.join(self.run_dir, d, "manifest.json")
             if d.startswith("phase_") and os.path.exists(man):
                 best = man
-        return None if best is None else (read_json(best)["phase"],
-                                          read_json(best))
+        if best is None:
+            return None
+        m = read_json(best)
+        return (m["phase"], m)
 
     def load(self, phase: int, name: str):
         """Read one persisted dataset back (schema-metadata-stripped)."""

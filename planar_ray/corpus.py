@@ -205,21 +205,30 @@ def write_corpus(spec: CorpusSpec, out_root: str | None = None, use_ray: bool = 
     Layout: ``<root>/corpus/<tag>/*.parquet`` + ``_MANIFEST.json`` written
     last (the completion marker a resumed run checks).
     """
+    import shutil
+
     out_root = out_root or default_cache_dir()
     out_dir = os.path.join(out_root, "corpus", spec.tag)
     marker = os.path.join(out_dir, "_MANIFEST.json")
     if os.path.exists(marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    # stage into a tmp dir and rename LAST: a crash mid-write must not
+    # leave partial parquet a re-run would append duplicate rows beside
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     if use_ray and spec.files_target > 20_000:
         ds = corpus_dataset(spec)
-        ds.write_parquet(out_dir)
+        ds.write_parquet(tmp_dir)
         num_rows = None  # counted lazily by readers if needed
     else:
         import pyarrow.parquet as pq
 
         tab = corpus_table(spec)
-        pq.write_table(tab, os.path.join(out_dir, "corpus-0.parquet"))
+        pq.write_table(tab, os.path.join(tmp_dir, "corpus-0.parquet"))
         num_rows = tab.num_rows
-    write_json_atomic(marker, {"spec": spec.tag, "rows": num_rows})
+    write_json_atomic(os.path.join(tmp_dir, "_MANIFEST.json"),
+                      {"spec": spec.tag, "rows": num_rows})
+    os.rename(tmp_dir, out_dir)  # commit marker
     return out_dir

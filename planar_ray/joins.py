@@ -128,6 +128,13 @@ def hash_bucket_join(
 
     arrow_how = {"inner": "inner", "left": "left outer"}[how]
 
+    # Acero's hash join rejects NESTED (list/struct) non-key columns —
+    # e.g. the shingle-set payloads of the minhash verify path. Detach
+    # them before the join and re-attach by row-index take afterwards.
+    nested_l = [n for n in lnames
+                if n != left_on and pa.types.is_nested(types[n])]
+    nested_r = [n for n in out_r_cols if pa.types.is_nested(rtypes[n])]
+
     def merge(group: pa.Table) -> pa.Table:
         # split sides while still Arrow and join with Arrow's hash join:
         # no pandas transit, so (a) int64 keys/values never pass through
@@ -140,8 +147,23 @@ def hash_bucket_join(
         lmask = pc.equal(group["__side"], "l")
         gl = group.filter(lmask).select(lnames).combine_chunks()
         gr = group.filter(pc.invert(lmask)).select(rnames).combine_chunks()
-        merged = gl.join(gr, keys=[left_on], right_keys=[right_on],
+        flat_l = [n for n in lnames if n not in nested_l]
+        flat_r = [n for n in rnames if n not in nested_r]
+        jl, jr = gl.select(flat_l), gr.select(flat_r)
+        if nested_l:
+            jl = jl.append_column(
+                "__li", pa.array(np.arange(len(gl), dtype=np.int64)))
+        if nested_r:
+            jr = jr.append_column(
+                "__ri", pa.array(np.arange(len(gr), dtype=np.int64)))
+        merged = jl.join(jr, keys=[left_on], right_keys=[right_on],
                          join_type=arrow_how)
+        # re-attach nested payloads: take by originating row index
+        # (a left-outer null index takes a null row, matching Acero)
+        for n in nested_l:
+            merged = merged.append_column(n, pc.take(gl[n], merged["__li"]))
+        for n in nested_r:
+            merged = merged.append_column(n, pc.take(gr[n], merged["__ri"]))
         # no row-order sort: row order inside a block is not semantic —
         # every consumer either aggregates or sorts on its own keys
         return merged.select(lnames + out_r_cols).cast(out_schema)

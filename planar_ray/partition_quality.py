@@ -85,6 +85,13 @@ def bfs_order(graph: Graph) -> np.ndarray:
     visit index; neighbours get nearby ranks, so cutting rank order into
     ranges yields locality-aware partitions. Offline tool scale (the CSR
     is loaded into one process, as the reference tool does)."""
+    return _bfs_rank_deg(graph)[0]
+
+
+def _bfs_rank_deg(graph: Graph) -> tuple[np.ndarray, np.ndarray]:
+    """(bfs rank, degree) per vertex in ONE pass over the CSR parts —
+    the O(V+E) Python BFS dominates partitioner comparison, so callers
+    that need both (or call several assigns) share one run."""
     V = graph.num_vertices
     indptr = np.zeros(V + 1, dtype=np.int64)
     indices_parts = []
@@ -117,19 +124,19 @@ def bfs_order(graph: Graph) -> np.ndarray:
                     rank[w] = nxt
                     nxt += 1
                     q.append(w)
-    return rank
+    return rank, deg
 
 
-def bfs_assign(graph: Graph, num_parts: int):
-    """Edge-balanced ranges over the BFS rank order (S13 capability)."""
-    rank = bfs_order(graph)
+def bfs_assign(graph: Graph, num_parts: int,
+               rank: np.ndarray | None = None,
+               deg: np.ndarray | None = None):
+    """Edge-balanced ranges over the BFS rank order (S13 capability).
+    Pass precomputed ``rank``/``deg`` (from ``_bfs_rank_deg``) to share
+    the BFS across several assigns."""
+    if rank is None or deg is None:
+        rank, deg = _bfs_rank_deg(graph)
     # edge-balanced cuts in rank space: weight each vertex by its degree
     V = graph.num_vertices
-    deg = np.zeros(V, dtype=np.int64)
-    for p in range(graph.num_parts):
-        csr = graph.load_csr(p)
-        v = np.arange(csr.begin, csr.end, dtype=np.int64)
-        deg[v] = csr.degrees(v)
     by_rank = np.empty(V, dtype=np.int64)
     by_rank[rank] = np.arange(V)
     cum = np.cumsum(deg[by_rank])
@@ -146,7 +153,8 @@ def bfs_assign(graph: Graph, num_parts: int):
     return fn
 
 
-def bfs_capped_assign(graph: Graph, max_vertices_per_part: int):
+def bfs_capped_assign(graph: Graph, max_vertices_per_part: int,
+                      rank: np.ndarray | None = None):
     """S15 ``BFSBasedEdgeCutPartitioner`` (/root/reference/tools/
     graph_partitioner/partitioner/bfs_based_edgecut.cpp:82-160): grow
     BFS from max-degree roots and fill a partition bucket until it holds
@@ -155,7 +163,8 @@ def bfs_capped_assign(graph: Graph, max_vertices_per_part: int):
     cuts in rank space) this bounds the VERTEX count per partition,
     which is what the reference trades edge balance for. Offline tool
     scale, like every reference partitioner executable."""
-    rank = bfs_order(graph)
+    if rank is None:
+        rank = bfs_order(graph)
     cap = max(1, int(max_vertices_per_part))
 
     def fn(ids: np.ndarray) -> np.ndarray:
@@ -217,13 +226,15 @@ def compare_partitioners(graph: Graph) -> dict:
     edges = graph.edges_dataset().materialize()
     P = graph.num_parts
     cap = -(-graph.num_vertices // P)  # ceil: P vertex-capped buckets
+    rank, deg = _bfs_rank_deg(graph)  # ONE BFS shared by both assigns
     return {
         "range_cut": round(edge_cut_fraction(edges,
                                              range_assign(graph.boundaries)), 4),
         "hash_cut": round(edge_cut_fraction(edges, hash_assign(P)), 4),
-        "bfs_cut": round(edge_cut_fraction(edges, bfs_assign(graph, P)), 4),
+        "bfs_cut": round(
+            edge_cut_fraction(edges, bfs_assign(graph, P, rank, deg)), 4),
         "bfs_capped_cut": round(
-            edge_cut_fraction(edges, bfs_capped_assign(graph, cap)), 4),
+            edge_cut_fraction(edges, bfs_capped_assign(graph, cap, rank)), 4),
         "num_parts": P,
         "num_edges": graph.num_edges,
     }

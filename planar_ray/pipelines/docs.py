@@ -589,7 +589,9 @@ class SimHasher:
     in one siphash call; per-bit ±1 votes accumulate via a single
     ``np.add.at`` over the (docs, 64) vote matrix."""
 
-    def __init__(self, seed: int = 11):
+    def __init__(self):
+        # the token hash seed is the module-level SIMHASH_SEED (shared
+        # with the SQL oracle) — not a constructor knob
         self.tok_re = re.compile(TOKEN_RE)
 
     def __call__(self, t: pa.Table) -> pa.Table:

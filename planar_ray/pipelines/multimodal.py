@@ -53,6 +53,12 @@ class FeatureExtractor:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
+        if not payloads:  # np.stack([]) raises; emit a typed empty block
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+                "feature": pa.array([], pa.list_(pa.float64())),
+            })
         signals = np.stack([self.decode(p) for p in payloads])
         feats = signals @ self.weights  # (batch, FEATURE_DIM)
         return pa.table(
@@ -113,8 +119,10 @@ class FrameSampler:
     pipeline needs (frame decode itself would ride ``decode_image``)."""
 
     def __init__(self, seed: int = 31):
-        rng = np.random.default_rng(seed)
-        self.weights = rng.standard_normal((HIST_BINS, FEATURE_DIM))
+        # same 'model' as FeatureExtractor: one signal definition, one
+        # weight construction — the frame and feature SQL oracles embed
+        # the same constants and must never diverge
+        self.weights = FeatureExtractor(seed=seed).weights
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, frame_idx, feats = [], [], []
@@ -123,9 +131,7 @@ class FrameSampler:
             n_frames = max(1, len(raw) // FRAME_BYTES)
             for f in range(0, n_frames, FRAME_STRIDE):
                 chunk = raw[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
-                hist = np.bincount(chunk >> 4, minlength=HIST_BINS).astype(np.float64)
-                s = hist.sum()
-                sig = hist / s if s else hist
+                sig = fake_decode(chunk.tobytes())
                 doc_ids.append(did)
                 frame_idx.append(f)
                 feats.append(np.round(sig @ self.weights, 6).tolist())
