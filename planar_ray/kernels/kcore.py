@@ -1,0 +1,129 @@
+"""k-core decomposition (iterative peel) on the BSP superstep engine.
+
+Not a reference app — a north-rule-family addition in the same
+vertex-kernel style as LPA (SURVEY.md §7.5): repeatedly remove every
+vertex whose degree within the surviving subgraph is < k, until no
+vertex is removed; the survivors are the k-core and ``val`` ends as
+each survivor's degree *inside the core*.
+
+Message flow is removal-driven (the classic distributed peel): a vertex
+removed in superstep s notifies each neighbor with one decrement per
+shared edge; superstep s+1 subtracts the decrements, drops newly
+sub-k vertices and marks them as the next scatter frontier. Work per
+superstep is O(edges incident to just-removed vertices) — the frontier
+mask (K6) keeps settled vertices out of scatter entirely — and the
+round count is the graph's peel depth for this k.
+
+Expects a graph whose stored ``fwd`` direction is ALREADY symmetric and
+deduplicated with self-loops dropped (the g2 co-occurrence graph and
+``sym_dedup_edges`` in the tests both are): degree = CSR row length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ..graph import CSRPart, Graph
+from ..superstep import Engine, Kernel, combine_sum
+
+
+class KCoreKernel(Kernel):
+    name = "kcore"
+    direction = "fwd"  # pass an already-symmetric deduped graph
+    columns = {
+        "val": pa.float64(),    # degree within the surviving subgraph
+        "alive": pa.int8(),
+        "active": pa.int8(),    # just removed -> notifies neighbors next
+        "removed": pa.int64(),
+        "in_msgs": pa.int64(),
+    }
+
+    @property
+    def message_columns(self):
+        return ["val"]  # message: #edges the target lost this superstep
+
+    def __init__(self, k: int):
+        self.k = int(k)
+
+    def init_cols(self, part, begin, end, csr: CSRPart):
+        n = end - begin
+        v = np.arange(begin, end, dtype=np.int64)
+        deg = csr.degrees(v).astype(np.float64)
+        dead = deg < self.k
+        return {"val": deg, "alive": (~dead).astype(np.int8),
+                "active": dead.astype(np.int8),
+                "removed": dead.astype(np.int64),
+                "in_msgs": np.zeros(n, np.int64)}
+
+    def scatter(self, csr: CSRPart, v, cols):
+        # v is the frontier (just-removed vertices); one decrement per edge
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        t, s = combine_sum(nbrs, np.ones(len(nbrs)),
+                           num_targets=self._num_vertices)
+        return {"v": t, "val": s}
+
+    def scatter_raw(self, csr: CSRPart, v, cols):
+        # direct mode pre-combines per destination range (dense bincount)
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        return {"v": nbrs, "val": np.ones(len(nbrs))}
+
+    def apply(self, begin, end, state, msgs, ctx):
+        n = end - begin
+        loc = (msgs["v"] - begin).astype(np.int64)
+        lost = np.bincount(loc, weights=msgs["val"], minlength=n) \
+            if len(loc) else np.zeros(n)
+        in_msgs = np.bincount(loc, minlength=n).astype(np.int64)
+        dm = ctx.get("dense_msgs")
+        if dm is not None:
+            lost = lost + dm[0]
+            in_msgs = in_msgs + dm[1]
+        v = state["v"]
+        alive = state["alive"].astype(bool)
+        deg = state["val"] - lost[v - begin]
+        newly = alive & (deg < self.k)
+        return {"v": v, "val": deg,
+                "alive": (alive & ~newly).astype(np.int8),
+                "active": newly.astype(np.int8),
+                "removed": newly.astype(np.int64),
+                "in_msgs": in_msgs}
+
+    stats_spec = [("removed", "removed", "sum"), ("in_msgs", "in_msgs", "sum")]
+
+    def converged(self, stats, superstep):
+        return int(stats.get("removed") or 0) == 0
+
+
+def kcore(graph: Graph, k: int, max_iters: int = 200, run_dir=None,
+          checkpoint_every=0, resume=False, **engine_kw):
+    """Peel ``graph`` (stored-fwd must be symmetric + deduped) to its
+    k-core. Returns (state, engine): state rows with ``alive``==1 are
+    the core; their ``val`` is the within-core degree."""
+    eng = Engine(graph, KCoreKernel(k), run_dir=run_dir,
+                 checkpoint_every=checkpoint_every, **engine_kw)
+    state = eng.run(max_supersteps=max_iters, resume=resume)
+    return state, eng
+
+
+def kcore_oracle(edges: np.ndarray, num_vertices: int, k: int):
+    """Pure-NumPy peel oracle (tests). ``edges`` is the symmetric deduped
+    directed edge list (both orientations present, no self-loops).
+    Returns (alive bool[V], coredeg int64[V] — 0 off-core)."""
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    deg = np.bincount(src, minlength=num_vertices).astype(np.int64)
+    alive = deg >= k
+    while True:
+        keep = alive[src] & alive[dst]
+        deg = np.bincount(src[keep], minlength=num_vertices)
+        nxt = alive & (deg >= k)
+        if np.array_equal(nxt, alive):
+            break
+        alive = nxt
+    keep = alive[src] & alive[dst]
+    coredeg = np.bincount(src[keep], minlength=num_vertices).astype(np.int64)
+    coredeg[~alive] = 0
+    return alive, coredeg

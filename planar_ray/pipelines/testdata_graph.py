@@ -942,6 +942,63 @@ SQL_G2_RANDOMWALK = _randomwalk_sql()
 SQL_G2_GNN = _gnn_sql()
 
 
+KCORE_K = 80        # peels ~5 rounds with a nontrivial core at sf0.01/0.1
+KCORE_UNROLL = 10   # SQL peel rounds; Ray side asserts supersteps <= this
+                    # (extra SQL rounds past the fixpoint are no-ops)
+
+
+def q_g2_kcore(sf_dir: str) -> pa.Table:
+    """k-core peel (kernels/kcore.py) on the symmetric g2 graph: emits
+    every vertex with its core membership flag and, for members, the
+    degree inside the core."""
+    from ..kernels.kcore import kcore
+
+    g, iddict = _build(sf_dir, "g2")
+    state, eng = kcore(g, KCORE_K, max_iters=KCORE_UNROLL + 1)
+    steps = eng.metrics if isinstance(eng.metrics, int) else len(eng.metrics)
+    if steps > KCORE_UNROLL:
+        raise RuntimeError(
+            f"kcore peel took {steps} rounds > SQL unroll {KCORE_UNROLL}")
+    vals = state.select_columns(["v", "val", "alive"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    alive = tab["alive"].to_numpy().astype(bool)
+    coredeg = np.where(alive, tab["val"].to_numpy(), 0.0).astype(np.int64)
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "in_core": pa.array(alive.astype(np.int64)),
+        "coredeg": pa.array(coredeg),
+    })
+
+
+def _kcore_sql(k: int = KCORE_K, unroll: int = KCORE_UNROLL) -> str:
+    ctes = [f"alive0 AS MATERIALIZED (SELECT v FROM deg WHERE outdeg >= {k})"]
+    for i in range(1, unroll + 1):
+        p = f"alive{i - 1}"
+        ctes.append(
+            f"alive{i} AS MATERIALIZED ("
+            f" SELECT a.v FROM {p} a"
+            f" JOIN edges e ON e.src = a.v"
+            f" JOIN {p} b ON b.v = e.dst"
+            f" GROUP BY a.v HAVING COUNT(*) >= {k})"
+        )
+    fin = f"alive{unroll}"
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes) + ",\n"
+        f"coredeg AS (SELECT a.v, COUNT(*) AS c FROM {fin} a"
+        f" JOIN edges e ON e.src = a.v JOIN {fin} b ON b.v = e.dst"
+        f" GROUP BY a.v)\n"
+        "SELECT 'p' || CAST(n.v AS VARCHAR) AS node_key,"
+        " CAST(CASE WHEN f.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,"
+        " CAST(COALESCE(c.c, 0) AS BIGINT) AS coredeg"
+        f" FROM nodes n LEFT JOIN {fin} f ON f.v = n.v"
+        " LEFT JOIN coredeg c ON c.v = n.v"
+    )
+
+
+SQL_G2_KCORE = _kcore_sql()
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -962,6 +1019,7 @@ QUERIES = {
     "g2_sssp_asp": q_g2_sssp_asp,
     "g2_wcc_contract": q_g2_wcc_contract,
     "g2_wcc_narrow": q_g2_wcc_narrow,
+    "g2_kcore": q_g2_kcore,
 }
 
 ORACLES = {
@@ -984,4 +1042,5 @@ ORACLES = {
     "g2_sssp_asp": SQL_G2_SSSP,   # ASP: identical converged distances
     "g2_wcc_contract": SQL_G2_WCC,  # contraction: identical fixpoint labels
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
+    "g2_kcore": SQL_G2_KCORE,
 }
