@@ -999,6 +999,66 @@ def _kcore_sql(k: int = KCORE_K, unroll: int = KCORE_UNROLL) -> str:
 SQL_G2_KCORE = _kcore_sql()
 
 
+PPR_ITERS = 10
+PPR_SEED_MOD = 97  # seeds: node ids divisible by 97 (customers + orders)
+
+
+def q_g1_ppr(sf_dir: str) -> pa.Table:
+    """Personalized PageRank (kernels/ppr.py) on the customer->order
+    graph: teleport mass restricted to nodes whose RAW key id is
+    divisible by PPR_SEED_MOD; order nodes are dangling, so the
+    dangling-mass-to-seeds path is exercised every round."""
+    from ..kernels.ppr import ppr
+
+    g, iddict = _build(sf_dir, "g1")
+    def _pick_seeds(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(key % PPR_SEED_MOD == 0))
+
+    seeds = iddict.map_batches(
+        _pick_seeds, batch_format="pyarrow",
+    ).select_columns(["v"]).to_pandas()["v"].to_numpy()
+    state, _eng = ppr(g, seeds, iters=PPR_ITERS)
+    vals = state.select_columns(["v", "val"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys(tab["rawkey"].to_numpy())),
+        "score": pa.array(np.round(tab["val"].to_numpy(), 6)),
+    })
+
+
+def _ppr_sql(base: str, key_expr: str, iters: int = PPR_ITERS,
+             mod: int = PPR_SEED_MOD) -> str:
+    seed_w = "CASE WHEN s.v IS NULL THEN 0.0 ELSE 1.0 / ns.n END"
+    ctes = [
+        f"seeds AS MATERIALIZED (SELECT v FROM nodes WHERE v % {mod} = 0)",
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds)",
+        f"pr0 AS MATERIALIZED (SELECT d.v, d.outdeg, {seed_w} AS pr"
+        " FROM deg d LEFT JOIN seeds s ON s.v = d.v CROSS JOIN ns)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        ctes.append(
+            f"pr{i} AS MATERIALIZED ("
+            f" SELECT d.v, d.outdeg,"
+            f"  {seed_w} * (0.15 + 0.85 *"
+            f"   (SELECT COALESCE(SUM(pr), 0) FROM {p} WHERE outdeg = 0))"
+            f"  + 0.85 * COALESCE(m.s, 0) AS pr"
+            f" FROM deg d LEFT JOIN seeds s ON s.v = d.v CROSS JOIN ns"
+            f" LEFT JOIN (SELECT e.dst AS v, SUM(p.pr / p.outdeg) AS s"
+            f"            FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst) m"
+            f"   ON m.v = d.v)"
+        )
+    return (
+        "WITH " + base.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT {key_expr} AS node_key, ROUND(pr, 6) AS score FROM pr{iters}"
+    )
+
+
+SQL_G1_PPR = _ppr_sql(_G1_BASE, _KEY_G1)
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1020,6 +1080,7 @@ QUERIES = {
     "g2_wcc_contract": q_g2_wcc_contract,
     "g2_wcc_narrow": q_g2_wcc_narrow,
     "g2_kcore": q_g2_kcore,
+    "g1_ppr": q_g1_ppr,
 }
 
 ORACLES = {
@@ -1043,4 +1104,5 @@ ORACLES = {
     "g2_wcc_contract": SQL_G2_WCC,  # contraction: identical fixpoint labels
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
     "g2_kcore": SQL_G2_KCORE,
+    "g1_ppr": SQL_G1_PPR,
 }

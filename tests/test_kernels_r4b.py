@@ -78,3 +78,50 @@ def test_kcore_checkpoint_resume(tmp_root, tmp_path):
     got = res.select_columns(["v", "val", "alive"]).to_pandas().sort_values("v")
     assert np.array_equal(got["alive"].to_numpy(), want["alive"].to_numpy())
     assert np.array_equal(got["val"].to_numpy(), want["val"].to_numpy())
+
+
+def _directed_random_graph(tmp_root, seed, V=700, E=2200, num_parts=3):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, V, E)
+    b = rng.integers(0, V, E)
+    keep = a != b
+    edges = np.unique(np.stack([a[keep], b[keep]], 1), axis=0)
+    root = f"{tmp_root}/dirg_{seed}"
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    g = partition_edges(ds, root, V, num_parts=num_parts, direction="fwd")
+    return g, edges, V
+
+
+def test_ppr_matches_dense_oracle(tmp_root):
+    """Seeded teleport + dangling-mass-to-seeds vs the dense oracle;
+    the random directed graph has dangling vertices by construction."""
+    from planar_ray.kernels.ppr import ppr, ppr_oracle
+
+    g, edges, V = _directed_random_graph(tmp_root, seed=31)
+    deg = np.bincount(edges[:, 0], minlength=V)
+    assert (deg == 0).any()  # dangling path actually exercised
+    seeds = np.arange(0, V, 37)
+    state, _ = ppr(g, seeds, iters=12)
+    tab = state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    want = ppr_oracle(edges, V, seeds, iters=12)
+    np.testing.assert_allclose(tab["val"].to_numpy(), want, rtol=1e-12,
+                               atol=1e-15)
+    # total mass stays 1 under the dangling-to-seeds formulation
+    assert abs(tab["val"].sum() - 1.0) < 1e-9
+
+
+def test_ppr_single_seed_localises(tmp_root):
+    """With one seed, mass concentrates at/near the seed: the seed's
+    score must be the global max."""
+    from planar_ray.kernels.ppr import ppr
+
+    g, edges, V = _directed_random_graph(tmp_root, seed=43)
+    state, _ = ppr(g, np.array([5]), iters=15)
+    tab = state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    val = tab["val"].to_numpy()
+    assert val.argmax() == 5
+    assert abs(val.sum() - 1.0) < 1e-9
