@@ -1059,6 +1059,76 @@ def _ppr_sql(base: str, key_expr: str, iters: int = PPR_ITERS,
 SQL_G1_PPR = _ppr_sql(_G1_BASE, _KEY_G1)
 
 
+HITS_ITERS = 5
+
+
+def q_g1_hits(sf_dir: str) -> pa.Table:
+    """HITS on the customer->order graph via the bipartite-lift kernel
+    (kernels/hits.py): customers are pure hubs, orders pure
+    authorities — the zero halves exercise the lazily-normalised
+    update's empty-message paths."""
+    from ..kernels.hits import hits
+
+    g, iddict = _build(sf_dir, "g1")
+    lift_root = os.path.join(_cache_root(sf_dir), "g1_hits_lift")
+    state, _eng, V = hits(g, lift_root, iters=HITS_ITERS)
+    tab = state.select_columns(["v", "val"]).to_pandas()
+    v = tab["v"].to_numpy()
+    val = tab["val"].to_numpy()
+    hub_raw = np.zeros(V)
+    auth_raw = np.zeros(V)
+    hub_raw[v[v < V]] = val[v < V]
+    auth_raw[v[v >= V] - V] = val[v >= V]
+    hub = hub_raw / hub_raw.sum()
+    auth = auth_raw / auth_raw.sum()
+    keyed = _attach_key(
+        rd_from_table(pa.table({"v": np.arange(V, dtype=np.int64),
+                                "hub": hub, "auth": auth})),
+        iddict, "v", "rawkey").to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys(keyed["rawkey"].to_numpy())),
+        "hub": pa.array(np.round(keyed["hub"].to_numpy(), 6)),
+        "auth": pa.array(np.round(keyed["auth"].to_numpy(), 6)),
+    })
+
+
+def rd_from_table(t: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(t)
+
+
+def _hits_sql(base: str, key_expr: str, iters: int = HITS_ITERS) -> str:
+    ctes = ["h0 AS MATERIALIZED (SELECT v, 1.0 AS s FROM nodes)"]
+    for i in range(1, iters + 1):
+        hp, ap = f"h{i - 1}", f"a{i}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED ("
+            f" SELECT n.v, COALESCE(m.s, 0) / (SELECT SUM(s) FROM {hp}) AS s"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.dst AS v, SUM(h.s) AS s FROM edges e"
+            f"   JOIN {hp} h ON h.v = e.src GROUP BY e.dst) m ON m.v = n.v)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED ("
+            f" SELECT n.v, COALESCE(m.s, 0) / (SELECT SUM(s) FROM {ap}) AS s"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.src AS v, SUM(a.s) AS s FROM edges e"
+            f"   JOIN {ap} a ON a.v = e.dst GROUP BY e.src) m ON m.v = n.v)"
+        )
+    return (
+        "WITH " + base.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT {key_expr} AS node_key, hub, auth FROM ("
+        f" SELECT h.v AS v,"
+        f"  ROUND(h.s / (SELECT SUM(s) FROM h{iters}), 6) AS hub,"
+        f"  ROUND(a.s / (SELECT SUM(s) FROM a{iters}), 6) AS auth"
+        f" FROM h{iters} h JOIN a{iters} a ON a.v = h.v)"
+    )
+
+
+SQL_G1_HITS = _hits_sql(_G1_BASE, _KEY_G1)
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1081,6 +1151,7 @@ QUERIES = {
     "g2_wcc_narrow": q_g2_wcc_narrow,
     "g2_kcore": q_g2_kcore,
     "g1_ppr": q_g1_ppr,
+    "g1_hits": q_g1_hits,
 }
 
 ORACLES = {
@@ -1105,4 +1176,5 @@ ORACLES = {
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
     "g2_kcore": SQL_G2_KCORE,
     "g1_ppr": SQL_G1_PPR,
+    "g1_hits": SQL_G1_HITS,
 }

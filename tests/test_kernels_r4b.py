@@ -125,3 +125,42 @@ def test_ppr_single_seed_localises(tmp_root):
     val = tab["val"].to_numpy()
     assert val.argmax() == 5
     assert abs(val.sum() - 1.0) < 1e-9
+
+
+def test_hits_matches_dense_oracle(tmp_root):
+    from planar_ray.kernels.hits import hits, hits_oracle
+
+    g, edges, V = _directed_random_graph(tmp_root, seed=61, V=500, E=1700)
+    state, _eng, _ = hits(g, f"{tmp_root}/hits_lift_61", iters=4)
+    tab = state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    val = tab["val"].to_numpy()
+    hub = val[:V] / val[:V].sum()
+    auth = val[V:] / val[V:].sum()
+    oh, oa = hits_oracle(edges, V, iters=4)
+    np.testing.assert_allclose(hub, oh, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(auth, oa, rtol=1e-10, atol=1e-14)
+
+
+def test_hits_bipartite_halves(tmp_root):
+    """On a purely bipartite graph (sources never targets), hub mass
+    sits on sources, authority mass on targets."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.hits import hits
+
+    rng = np.random.default_rng(9)
+    n_src, V = 40, 100  # sources 0..39, targets 40..99
+    src = rng.integers(0, n_src, 300)
+    dst = rng.integers(n_src, V, 300)
+    edges = np.unique(np.stack([src, dst], 1), axis=0)
+    root = f"{tmp_root}/bip"
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    g = partition_edges(ds, root, V, num_parts=2, direction="fwd")
+    state, _eng, _ = hits(g, f"{root}_lift", iters=3)
+    tab = state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    val = tab["val"].to_numpy()
+    hub, auth = val[:V], val[V:]
+    assert hub[n_src:].sum() == 0.0      # targets are never hubs
+    assert auth[:n_src].sum() == 0.0     # sources are never authorities
+    assert hub[:n_src].sum() > 0 and auth[n_src:].sum() > 0
