@@ -152,6 +152,58 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     t0 = time.monotonic(); gnn(g, layers=2)
     queries["gnn"] = time.monotonic() - t0
 
+    # round-4 kernels: ppr/hits run on the directed corpus graph; kcore
+    # peels its symmetrised-deduped variant (timed incl. that one extra
+    # canonical-pair shuffle + build, like corpus_ingest_build)
+    import numpy as np
+    import pyarrow as pa
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.hits import hits
+    from planar_ray.kernels.kcore import kcore
+    from planar_ray.kernels.ppr import ppr
+
+    t0 = time.monotonic()
+    ppr(g, np.arange(0, g.num_vertices, 97), iters=10)
+    queries["ppr"] = time.monotonic() - t0
+
+    lift_root = "/tmp/planar_bench/graph_hits_lift"
+    shutil.rmtree(lift_root, ignore_errors=True)
+    t0 = time.monotonic()
+    hits(g, lift_root, iters=5)
+    queries["hits"] = time.monotonic() - t0
+
+    sym_root = "/tmp/planar_bench/graph_sym_kcore"
+    shutil.rmtree(sym_root, ignore_errors=True)
+    t0 = time.monotonic()
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        keep = a != b
+        return pa.table({"src": np.minimum(a[keep], b[keep]),
+                         "dst": np.maximum(a[keep], b[keep])})
+
+    from ray.data.aggregate import Count
+
+    canon = (g.edges_dataset().map_batches(_canon, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["src", "dst"]))
+    both = canon.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t["src"].combine_chunks(),
+                                     t["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["dst"].combine_chunks(),
+                                     t["src"].combine_chunks()]),
+        }), batch_format="pyarrow")
+    gsym = partition_edges(both, sym_root, g.num_vertices,
+                           num_parts=g.num_parts, direction="fwd")
+    _kstate, keng = kcore(gsym, 4)
+    queries["kcore"] = time.monotonic() - t0
+    kt = _kstate.select_columns(["alive"]).to_pandas()
+    extra["kcore_rounds"] = len(keng.metrics)
+    extra["kcore_size"] = int(kt["alive"].sum())
+
     # training-data ops over the sf tables
     from planar_ray.pipelines.ann import (
         q_ann_ivf_topk,
