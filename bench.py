@@ -156,7 +156,6 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     # peels its symmetrised-deduped variant (timed incl. that one extra
     # canonical-pair shuffle + build, like corpus_ingest_build)
     import numpy as np
-    import pyarrow as pa
 
     from planar_ray.graph import partition_edges
     from planar_ray.kernels.hits import hits
@@ -176,26 +175,9 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     sym_root = "/tmp/planar_bench/graph_sym_kcore"
     shutil.rmtree(sym_root, ignore_errors=True)
     t0 = time.monotonic()
+    from planar_ray.graph import sym_dedup_edges
 
-    def _canon(t: pa.Table) -> pa.Table:
-        a = t["src"].to_numpy(zero_copy_only=False)
-        b = t["dst"].to_numpy(zero_copy_only=False)
-        keep = a != b
-        return pa.table({"src": np.minimum(a[keep], b[keep]),
-                         "dst": np.maximum(a[keep], b[keep])})
-
-    from ray.data.aggregate import Count
-
-    canon = (g.edges_dataset().map_batches(_canon, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-             .select_columns(["src", "dst"]))
-    both = canon.map_batches(
-        lambda t: pa.table({
-            "src": pa.concat_arrays([t["src"].combine_chunks(),
-                                     t["dst"].combine_chunks()]),
-            "dst": pa.concat_arrays([t["dst"].combine_chunks(),
-                                     t["src"].combine_chunks()]),
-        }), batch_format="pyarrow")
+    both = sym_dedup_edges(g.edges_dataset())
     gsym = partition_edges(both, sym_root, g.num_vertices,
                            num_parts=g.num_parts, direction="fwd")
     _kstate, keng = kcore(gsym, 4)

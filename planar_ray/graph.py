@@ -638,6 +638,46 @@ def graph_from_id_edges(
                            dedup_in_parts=dedup)
 
 
+def sym_dedup_edges(edges: Dataset, num_buckets: int = 64) -> Dataset:
+    """Canonical symmetric dedup: drop self-loops, canonicalise to
+    (min,max), dedup exactly, emit BOTH orientations — the input
+    contract of degree-semantics kernels (kcore) whose stored ``fwd``
+    must be the undirected graph.
+
+    Zipf-safe at scale: a per-batch ``np.unique`` combiner first, then
+    ONE bounded shuffle on ``hash(pair) % num_buckets`` (each distinct
+    pair lands wholly in one bucket) with a vectorised per-bucket
+    unique — the MST canonical-pair pattern, not a two-column global
+    sort."""
+    from .util import splitmix64
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        pairs = np.unique(np.stack([lo, hi], 1), axis=0)  # batch combiner
+        key = splitmix64(pairs[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         ^ pairs[:, 1].astype(np.uint64))
+        return pa.table({
+            "src": pa.array(pairs[:, 0]), "dst": pa.array(pairs[:, 1]),
+            "bucket": pa.array((key % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def uniq_both(t: pa.Table) -> pa.Table:
+        lo = t["src"].to_numpy(zero_copy_only=False)
+        hi = t["dst"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([lo, hi], 1), axis=0)
+        return pa.table({
+            "src": np.concatenate([pairs[:, 0], pairs[:, 1]]),
+            "dst": np.concatenate([pairs[:, 1], pairs[:, 0]]),
+        })
+
+    return (edges.map_batches(canon, batch_format="pyarrow")
+            .groupby("bucket").map_groups(uniq_both, batch_format="pyarrow"))
+
+
 def derive_direction(g: Graph, direction: str, num_parts: int | None = None) -> Graph:
     """Materialise (once, cached on disk) the rev/sym variant of a graph.
 

@@ -164,3 +164,28 @@ def test_hits_bipartite_halves(tmp_root):
     assert hub[n_src:].sum() == 0.0      # targets are never hubs
     assert auth[:n_src].sum() == 0.0     # sources are never authorities
     assert hub[:n_src].sum() > 0 and auth[n_src:].sum() > 0
+
+
+def test_sym_dedup_edges_matches_numpy():
+    """sym_dedup_edges == np.unique canonical pairs, both orientations —
+    including multi-edges, self-loops and both-orientation duplicates in
+    the input."""
+    import ray.data as rd
+
+    from planar_ray.graph import sym_dedup_edges
+
+    rng = np.random.default_rng(77)
+    a = rng.integers(0, 50, 400)
+    b = rng.integers(0, 50, 400)
+    raw = np.stack([a, b], 1)
+    raw = np.concatenate([raw, raw[:17], raw[:9, ::-1]])  # dups both ways
+    ds = rd.from_arrow(pa.table({"src": raw[:, 0], "dst": raw[:, 1]}))
+    got = sym_dedup_edges(ds, num_buckets=7).to_pandas()
+    got = got.sort_values(["src", "dst"]).reset_index(drop=True)
+    keep = raw[:, 0] != raw[:, 1]
+    lo = np.minimum(raw[keep, 0], raw[keep, 1])
+    hi = np.maximum(raw[keep, 0], raw[keep, 1])
+    pairs = np.unique(np.stack([lo, hi], 1), axis=0)
+    want = np.concatenate([pairs, pairs[:, ::-1]])
+    want = want[np.lexsort((want[:, 1], want[:, 0]))]
+    assert np.array_equal(got[["src", "dst"]].to_numpy(), want)
