@@ -7,6 +7,9 @@ from .sssp import SSSPKernel, khop_counts, sssp
 from .triangle import triangle_count
 from .mst import boruvka
 from .wcc import WCCKernel, hop_extrema_seeds, wcc, wcc_precomputed
+from .kcore import KCoreKernel, kcore
+from .ppr import PPRKernel, ppr
+from .hits import HITSKernel, hits, lift_graph
 
 __all__ = [
     "PageRankKernel", "ReferencePageRankKernel", "pagerank", "pagerank_reference",
@@ -14,4 +17,6 @@ __all__ = [
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
     "ColoringKernel", "coloring", "GNNKernel", "gnn",
     "random_walk", "road_dataset", "boruvka", "wcc_precomputed", "hop_extrema_seeds",
+    "KCoreKernel", "kcore", "PPRKernel", "ppr",
+    "HITSKernel", "hits", "lift_graph",
 ]
