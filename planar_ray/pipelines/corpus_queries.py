@@ -170,6 +170,72 @@ def q_corpus_wcc_precomp(sf_dir: str) -> pa.Table:
     )
 
 
+def q_corpus_kcore(sf_dir: str) -> pa.Table:
+    """k-core of the symmetrised import graph (k=3): the sym-dedup
+    variant is built once into the cache via graph.sym_dedup_edges."""
+    from ..graph import partition_edges, sym_dedup_edges
+    from ..kernels import kcore
+
+    g, vdict = _build()
+    sym_root = _root() + "_sym"
+    if os.path.exists(os.path.join(sym_root, "meta_fwd.json")):
+        gsym = G.Graph.load(sym_root, "fwd")
+    else:
+        gsym = partition_edges(sym_dedup_edges(g.edges_dataset()), sym_root,
+                               g.num_vertices, g.num_parts, "fwd")
+    state, _eng = kcore(gsym, 3)
+    df = _with_keys(state, vdict, ["val", "alive"])
+    alive = df["alive"].to_numpy().astype(np.int64)
+    return pa.table({
+        "node_key": pa.array(df["key"]),
+        "in_core": pa.array(alive),
+        "coredeg": pa.array(np.where(alive == 1, df["val"].to_numpy(), 0.0)
+                            .astype(np.int64)),
+    })
+
+
+def q_corpus_ppr(sf_dir: str) -> pa.Table:
+    """Personalized PageRank from every 97th dense id (deterministic)."""
+    from ..kernels import ppr
+
+    g, vdict = _build()
+    state, _eng = ppr(g, np.arange(0, g.num_vertices, 97), iters=10)
+    df = _with_keys(state, vdict, ["val"])
+    return pa.table({
+        "node_key": pa.array(df["key"]),
+        "score": pa.array(np.round(df["val"].to_numpy(), 9)),
+    })
+
+
+def q_corpus_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over the import graph (bipartite lift)."""
+    import ray.data as rd
+
+    from ..kernels import hits
+
+    g, vdict = _build()
+    state, _eng, V = hits(g, _root() + "_hits_lift", iters=5)
+    tab = state.select_columns(["v", "val"]).to_pandas()
+    v = tab["v"].to_numpy()
+    val = tab["val"].to_numpy()
+    hub_raw = np.zeros(V)
+    auth_raw = np.zeros(V)
+    hub_raw[v[v < V]] = val[v < V]
+    auth_raw[v[v >= V] - V] = val[v >= V]
+    scores = rd.from_arrow(pa.table({
+        "v": np.arange(V, dtype=np.int64),
+        "hub": hub_raw / hub_raw.sum(),
+        "auth": auth_raw / auth_raw.sum(),
+    }))
+    df = hash_bucket_join(scores, vdict.select_columns(["key", "v"]),
+                          left_on="v", right_on="v").to_pandas()
+    return pa.table({
+        "node_key": pa.array(df["key"]),
+        "hub": pa.array(np.round(df["hub"].to_numpy(), 9)),
+        "auth": pa.array(np.round(df["auth"].to_numpy(), 9)),
+    })
+
+
 QUERIES = {
     "corpus_edges": q_corpus_edges,
     "corpus_pagerank": q_corpus_pagerank,
@@ -182,4 +248,7 @@ QUERIES = {
     "corpus_mst": q_corpus_mst,
     "corpus_sssp": q_corpus_sssp,
     "corpus_wcc_precomp": q_corpus_wcc_precomp,
+    "corpus_kcore": q_corpus_kcore,
+    "corpus_ppr": q_corpus_ppr,
+    "corpus_hits": q_corpus_hits,
 }

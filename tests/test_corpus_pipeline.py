@@ -69,7 +69,7 @@ def test_determinism_across_parallelism(built, tmp_path_factory):
     assert np.allclose(a, b, atol=1e-9)
 
 # ---------------------------------------------------------------------------
-# Golden self-checks for the 10+1 rows-only corpus_* driver queries: the
+# Golden self-checks for the rows-only corpus_* driver queries: the
 # corpus is deterministic (SMALL spec), so row counts + canonical value
 # hashes are frozen here — a regression in any corpus pipeline fails
 # pytest instead of slipping through the (oracle-less) driver rows.
@@ -89,6 +89,9 @@ CORPUS_GOLDENS = {
     "corpus_mst": (5055, "0ab58e24dd0b96f2"),
     "corpus_sssp": (5056, "75b49ba4aafb1a18"),
     "corpus_wcc_precomp": (5056, "06eae781d7fcb7f8"),
+    "corpus_kcore": (5056, "41f81c6a5c604d18"),
+    "corpus_ppr": (5056, "d0782ba6b549354e"),
+    "corpus_hits": (5056, "91dad0082079b7b4"),
 }
 
 
