@@ -114,7 +114,8 @@ def _ingest_relabel_bfs(edges, out_dir: str, parts: int, out: dict):
 
 
 KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
-           "lpa", "sssp", "coloring", "gnn", "randomwalk", "triangles", "mst")
+           "lpa", "sssp", "coloring", "gnn", "randomwalk", "triangles", "mst",
+           "kcore", "ppr", "hits")
 
 
 def cmd_run(args) -> None:
@@ -173,6 +174,28 @@ def cmd_run(args) -> None:
         print(json.dumps({"kernel": "mst", "forest_edges": len(forest),
                           "components": int(labels["label"].nunique())}))
         return
+    elif args.kernel == "kcore":
+        # --iters doubles as k (peel threshold); stored fwd must be the
+        # symmetric deduped graph (see kernels/kcore.py)
+        _state, eng = K.kcore(g, args.iters or 2, resume=args.resume, **common)
+        t = _state.select_columns(["alive"]).to_pandas()
+        out["k"] = args.iters or 2
+        out["core_size"] = int(t["alive"].sum())
+    elif args.kernel == "ppr":
+        import numpy as _np
+
+        # seeds: every 97th dense id (deterministic, same rule as the
+        # corpus_ppr query); --source selects a single-seed run instead
+        seeds = (_np.array([args.source]) if args.source
+                 else _np.arange(0, g.num_vertices, 97))
+        _state, eng = K.ppr(g, seeds, iters=args.iters or 10,
+                            resume=args.resume, **common)
+    elif args.kernel == "hits":
+        import os as _os
+
+        lift_root = _os.path.join(args.graph, "hits_lift")
+        _state, eng, _V = K.hits(g, lift_root, iters=args.iters or 5,
+                                 resume=args.resume, **common)
     else:  # pragma: no cover
         raise SystemExit(f"unknown kernel {args.kernel}")
     out["supersteps"] = len(eng.metrics)

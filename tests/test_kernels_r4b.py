@@ -189,3 +189,40 @@ def test_sym_dedup_edges_matches_numpy():
     want = np.concatenate([pairs, pairs[:, ::-1]])
     want = want[np.lexsort((want[:, 1], want[:, 0]))]
     assert np.array_equal(got[["src", "dst"]].to_numpy(), want)
+
+
+def test_cli_runs_new_kernels(tmp_root, capsys):
+    """`cli run --kernel kcore|ppr|hits` operability: each prints a JSON
+    line with superstep metrics against a prebuilt graph store."""
+    import json as _json
+
+    import ray.data as rd
+
+    from planar_ray import cli
+    from planar_ray.graph import partition_edges, sym_dedup_edges
+
+    rng = np.random.default_rng(101)
+    V, E = 400, 1400
+    a = rng.integers(0, V, E)
+    b = rng.integers(0, V, E)
+    keep = a != b
+    edges = np.unique(np.stack([a[keep], b[keep]], 1), axis=0)
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    droot = f"{tmp_root}/cli_new_dir"       # directed store (ppr, hits)
+    partition_edges(ds, droot, V, num_parts=2, direction="fwd")
+    sroot = f"{tmp_root}/cli_new_sym"       # symmetric store (kcore)
+    partition_edges(sym_dedup_edges(ds), sroot, V, num_parts=2,
+                    direction="fwd")
+
+    cli.main(["run", "--kernel", "kcore", "--graph", sroot, "--iters", "3"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["k"] == 3 and 0 <= out["core_size"] <= V
+    assert out["supersteps"] >= 1
+
+    cli.main(["run", "--kernel", "ppr", "--graph", droot, "--iters", "5"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["supersteps"] == 5
+
+    cli.main(["run", "--kernel", "hits", "--graph", droot, "--iters", "2"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["supersteps"] == 4  # 2 iterations = 4 half-step supersteps
