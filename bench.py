@@ -198,6 +198,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         q_doc_fingerprint,
         q_doc_minhash_dedup,
         q_doc_quality,
+        q_doc_scrub,
         q_doc_simhash,
     )
     from planar_ray.pipelines.events import q_events_sessionize, q_events_window
@@ -208,6 +209,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         ("doc_quality", q_doc_quality),
         ("doc_simhash", q_doc_simhash),
         ("doc_fingerprint", q_doc_fingerprint),
+        ("doc_scrub", q_doc_scrub),
         ("ann_topk", q_ann_topk),
         ("ann_neardup", q_ann_neardup),
         ("ann_lsh_topk", q_ann_lsh_topk),

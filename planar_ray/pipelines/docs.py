@@ -999,6 +999,47 @@ ORDER BY n DESC, token ASC LIMIT {TOP_TERMS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# dictionary scrub (boilerplate / banned-term removal)
+# ---------------------------------------------------------------------------
+
+# fixed scrub dictionary (deterministic; terms that occur in the corpus
+# so the transform is exercised, not a no-op)
+SCRUB_TERMS = ("key", "table", "merge")
+SCRUB_RE = r"\b(" + "|".join(SCRUB_TERMS) + r")\b"  # RE2 both sides
+SCRUB_TOKEN = "[TERM]"
+
+
+def q_doc_scrub(sf_dir: str) -> pa.Table:
+    """Dictionary-based scrub — the banned-term/boilerplate-removal
+    primitive of a training-data pipeline: one vectorised RE2
+    alternation replace per batch (pc.replace_substring_regex), plus
+    the count of redactions per doc. DuckDB twin: regexp_replace(...,
+    'g') with the identical RE2 pattern."""
+    docs = _read_docs(sf_dir)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(t["text"], SCRUB_RE)
+        clean = pc.replace_substring_regex(t["text"], SCRUB_RE, SCRUB_TOKEN)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "scrubbed": clean,
+            "n_redacted": hits.cast(pa.int64()),
+        })
+
+    out = docs.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_DOC_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(text, '{SCRUB_RE}', '{SCRUB_TOKEN}', 'g') AS scrubbed,
+       CAST(length(regexp_split_to_array(text, '{SCRUB_RE}')) - 1 AS BIGINT)
+         AS n_redacted
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
@@ -1010,6 +1051,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_vocab": q_doc_vocab,
     "doc_top_terms": q_doc_top_terms,
+    "doc_scrub": q_doc_scrub,
 }
 
 ORACLES = {
@@ -1023,4 +1065,5 @@ ORACLES = {
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
+    "doc_scrub": SQL_DOC_SCRUB,
 }
