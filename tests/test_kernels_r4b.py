@@ -226,3 +226,45 @@ def test_cli_runs_new_kernels(tmp_root, capsys):
     cli.main(["run", "--kernel", "hits", "--graph", droot, "--iters", "2"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["supersteps"] == 4  # 2 iterations = 4 half-step supersteps
+
+
+def test_kcore_property_fuzz(tmp_root):
+    """PROPERTY: engine peel == NumPy peel for arbitrary small graphs
+    and k (incl. k=0/1, multi-component graphs, isolated vertices)."""
+    from hypothesis import given, settings, strategies as st
+
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges, sym_dedup_edges
+    from planar_ray.kernels.kcore import kcore, kcore_oracle
+
+    case = [0]
+
+    @given(st.integers(0, 2**31), st.integers(10, 80), st.integers(0, 6))
+    @settings(max_examples=10, deadline=None)
+    def check(seed, V, k):
+        rng = np.random.default_rng(seed)
+        E = int(rng.integers(V // 2, 3 * V))
+        a = rng.integers(0, V, E)
+        b = rng.integers(0, V, E)
+        case[0] += 1
+        ds = rd.from_arrow(pa.table({"src": a, "dst": b}))
+        root = f"{tmp_root}/fuzz_{case[0]}"
+        g = partition_edges(sym_dedup_edges(ds, num_buckets=5), root, V,
+                            num_parts=2, direction="fwd")
+        state, _ = kcore(g, k)
+        tab = state.select_columns(["v", "val", "alive"]).to_pandas()
+        tab = tab.sort_values("v")
+        alive = tab["alive"].to_numpy().astype(bool)
+        coredeg = np.where(alive, tab["val"].to_numpy(), 0).astype(np.int64)
+        # rebuild the exact sym-dedup edge array for the oracle
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        pairs = np.unique(np.stack([lo, hi], 1), axis=0)
+        edges = np.concatenate([pairs, pairs[:, ::-1]])
+        oalive, ocoredeg = kcore_oracle(edges, V, k)
+        assert np.array_equal(alive, oalive)
+        assert np.array_equal(coredeg, ocoredeg)
+
+    check()
