@@ -155,7 +155,8 @@ def cmd_run(args) -> None:
     elif args.kernel == "lpa":
         _state, eng = K.lpa(g, max_iters=args.iters or 10, resume=args.resume, **common)
     elif args.kernel == "sssp":
-        _state, eng = K.sssp(g, source=args.source)
+        _state, eng = K.sssp(
+            g, source=args.source if args.source is not None else 0)
     elif args.kernel == "coloring":
         _state, eng = K.coloring(g)
     elif args.kernel == "gnn":
@@ -175,25 +176,25 @@ def cmd_run(args) -> None:
                           "components": int(labels["label"].nunique())}))
         return
     elif args.kernel == "kcore":
-        # --iters doubles as k (peel threshold); stored fwd must be the
-        # symmetric deduped graph (see kernels/kcore.py)
-        _state, eng = K.kcore(g, args.iters or 2, resume=args.resume, **common)
+        # --iters doubles as k (peel threshold; 0 is a valid k). The
+        # sampled input gate inside kcore() rejects non-symmetric stores.
+        k = args.iters if args.iters is not None else 2
+        _state, eng = K.kcore(g, k, resume=args.resume, **common)
         t = _state.select_columns(["alive"]).to_pandas()
-        out["k"] = args.iters or 2
+        out["k"] = k
         out["core_size"] = int(t["alive"].sum())
     elif args.kernel == "ppr":
         import numpy as _np
 
         # seeds: every 97th dense id (deterministic, same rule as the
         # corpus_ppr query); --source selects a single-seed run instead
-        seeds = (_np.array([args.source]) if args.source
+        # (vertex 0 included — test the flag against None, not truthiness)
+        seeds = (_np.array([args.source]) if args.source is not None
                  else _np.arange(0, g.num_vertices, 97))
         _state, eng = K.ppr(g, seeds, iters=args.iters or 10,
                             resume=args.resume, **common)
     elif args.kernel == "hits":
-        import os as _os
-
-        lift_root = _os.path.join(args.graph, "hits_lift")
+        lift_root = os.path.join(args.graph, "hits_lift")
         _state, eng, _V = K.hits(g, lift_root, iters=args.iters or 5,
                                  resume=args.resume, **common)
     else:  # pragma: no cover
@@ -312,7 +313,9 @@ def main(argv=None) -> None:
     pr.add_argument("--checkpoint-every", type=int, default=0)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--iters", type=int, default=None)
-    pr.add_argument("--source", type=int, default=0)
+    # None = unset: sssp falls back to vertex 0, ppr to the multi-seed
+    # default (so `--source 0` still means "single seed at vertex 0")
+    pr.add_argument("--source", type=int, default=None)
     pr.set_defaults(fn=cmd_run)
 
     pk = sub.add_parser("kernels", help="list kernels")

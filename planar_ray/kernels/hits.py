@@ -149,6 +149,19 @@ def hits(graph: Graph, lift_root: str, iters: int = 5, run_dir=None,
     return state, eng, V
 
 
+def hits_scores(state, V: int) -> tuple[np.ndarray, np.ndarray]:
+    """Final state -> (hub, auth) dense arrays over the ORIGINAL id
+    space, each L1-normalised (the one place the lift is unpacked)."""
+    tab = state.select_columns(["v", "val"]).to_pandas()
+    v = tab["v"].to_numpy()
+    val = tab["val"].to_numpy()
+    hub_raw = np.zeros(V)
+    auth_raw = np.zeros(V)
+    hub_raw[v[v < V]] = val[v < V]
+    auth_raw[v[v >= V] - V] = val[v >= V]
+    return hub_raw / hub_raw.sum(), auth_raw / auth_raw.sum()
+
+
 def hits_oracle(edges: np.ndarray, num_vertices: int, iters: int = 5):
     """Dense NumPy HITS oracle (tests): identical lazy-normalised
     update order. Returns (hub, auth) L1-normalised."""

@@ -97,11 +97,47 @@ class KCoreKernel(Kernel):
         return int(stats.get("removed") or 0) == 0
 
 
+def assert_symmetric_sample(graph: Graph, sample: int = 256) -> None:
+    """Cheap gate on the kcore input contract: sample edges from the
+    store and require no self-loops and the reverse edge present in its
+    partition's CSR. Catches the silent-wrong-result case of pointing
+    kcore at an ordinary directed store (degrees would then be
+    out-degrees only). O(sample) CSR lookups, not a full scan."""
+    from ..graph import part_of
+
+    t = graph.edges_dataset().limit(sample).to_pandas()
+    if not len(t):
+        return
+    src = t["src"].to_numpy().astype(np.int64)
+    dst = t["dst"].to_numpy().astype(np.int64)
+    if (src == dst).any():
+        raise ValueError("kcore input contract: store contains self-loops "
+                         "(build it with graph.sym_dedup_edges)")
+    parts = part_of(dst, graph.boundaries)
+    for p in np.unique(parts):
+        csr = graph.load_csr(int(p))
+        m = parts == p
+        for s, d in zip(src[m], dst[m]):
+            lo, hi = csr.indptr[d - csr.begin], csr.indptr[d - csr.begin + 1]
+            if s not in csr.indices[lo:hi].astype(np.int64):
+                raise ValueError(
+                    f"kcore input contract: edge ({s},{d}) has no reverse "
+                    f"({d},{s}) — stored fwd is not symmetric (build it "
+                    "with graph.sym_dedup_edges)")
+
+
 def kcore(graph: Graph, k: int, max_iters: int = 200, run_dir=None,
-          checkpoint_every=0, resume=False, **engine_kw):
+          checkpoint_every=0, resume=False, check_input: bool = True,
+          **engine_kw):
     """Peel ``graph`` (stored-fwd must be symmetric + deduped) to its
     k-core. Returns (state, engine): state rows with ``alive``==1 are
-    the core; their ``val`` is the within-core degree."""
+    the core; their ``val`` is the within-core degree.
+
+    ``check_input`` runs a sampled symmetry/self-loop gate first
+    (assert_symmetric_sample) so a directed store fails loudly instead
+    of peeling by out-degree."""
+    if check_input:
+        assert_symmetric_sample(graph)
     eng = Engine(graph, KCoreKernel(k), run_dir=run_dir,
                  checkpoint_every=checkpoint_every, **engine_kw)
     state = eng.run(max_supersteps=max_iters, resume=resume)

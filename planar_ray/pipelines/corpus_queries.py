@@ -212,20 +212,15 @@ def q_corpus_hits(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
     from ..kernels import hits
+    from ..kernels.hits import hits_scores
 
     g, vdict = _build()
     state, _eng, V = hits(g, _root() + "_hits_lift", iters=5)
-    tab = state.select_columns(["v", "val"]).to_pandas()
-    v = tab["v"].to_numpy()
-    val = tab["val"].to_numpy()
-    hub_raw = np.zeros(V)
-    auth_raw = np.zeros(V)
-    hub_raw[v[v < V]] = val[v < V]
-    auth_raw[v[v >= V] - V] = val[v >= V]
+    hub, auth = hits_scores(state, V)
     scores = rd.from_arrow(pa.table({
         "v": np.arange(V, dtype=np.int64),
-        "hub": hub_raw / hub_raw.sum(),
-        "auth": auth_raw / auth_raw.sum(),
+        "hub": hub,
+        "auth": auth,
     }))
     df = hash_bucket_join(scores, vdict.select_columns(["key", "v"]),
                           left_on="v", right_on="v").to_pandas()

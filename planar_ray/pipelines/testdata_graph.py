@@ -1067,22 +1067,16 @@ def q_g1_hits(sf_dir: str) -> pa.Table:
     (kernels/hits.py): customers are pure hubs, orders pure
     authorities — the zero halves exercise the lazily-normalised
     update's empty-message paths."""
-    from ..kernels.hits import hits
+    import ray.data as rd
+
+    from ..kernels.hits import hits, hits_scores
 
     g, iddict = _build(sf_dir, "g1")
     lift_root = os.path.join(_cache_root(sf_dir), "g1_hits_lift")
     state, _eng, V = hits(g, lift_root, iters=HITS_ITERS)
-    tab = state.select_columns(["v", "val"]).to_pandas()
-    v = tab["v"].to_numpy()
-    val = tab["val"].to_numpy()
-    hub_raw = np.zeros(V)
-    auth_raw = np.zeros(V)
-    hub_raw[v[v < V]] = val[v < V]
-    auth_raw[v[v >= V] - V] = val[v >= V]
-    hub = hub_raw / hub_raw.sum()
-    auth = auth_raw / auth_raw.sum()
+    hub, auth = hits_scores(state, V)
     keyed = _attach_key(
-        rd_from_table(pa.table({"v": np.arange(V, dtype=np.int64),
+        rd.from_arrow(pa.table({"v": np.arange(V, dtype=np.int64),
                                 "hub": hub, "auth": auth})),
         iddict, "v", "rawkey").to_pandas()
     return pa.table({
@@ -1090,12 +1084,6 @@ def q_g1_hits(sf_dir: str) -> pa.Table:
         "hub": pa.array(np.round(keyed["hub"].to_numpy(), 6)),
         "auth": pa.array(np.round(keyed["auth"].to_numpy(), 6)),
     })
-
-
-def rd_from_table(t: pa.Table):
-    import ray.data as rd
-
-    return rd.from_arrow(t)
 
 
 def _hits_sql(base: str, key_expr: str, iters: int = HITS_ITERS) -> str:

@@ -268,3 +268,56 @@ def test_kcore_property_fuzz(tmp_root):
         assert np.array_equal(coredeg, ocoredeg)
 
     check()
+
+
+def test_kcore_rejects_directed_store(tmp_root):
+    """Review finding: pointing kcore at an ordinary directed store must
+    fail loudly (sampled symmetry gate), not peel by out-degree."""
+    from planar_ray.kernels.kcore import kcore
+
+    g, edges, V = _directed_random_graph(tmp_root, seed=87)
+    with pytest.raises(ValueError, match="not symmetric|self-loops"):
+        kcore(g, 2)
+
+
+def test_cli_ppr_source_zero_and_kcore_k_zero(tmp_root, capsys):
+    """Review findings: --source 0 must run a SINGLE-seed PPR from
+    vertex 0 (not the multi-seed default), and --iters 0 must run
+    kcore with k=0 (everything survives)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from planar_ray import cli
+    from planar_ray.graph import partition_edges, sym_dedup_edges
+    from planar_ray.kernels.ppr import ppr
+
+    rng = np.random.default_rng(55)
+    V, E = 200, 700
+    a = rng.integers(0, V, E)
+    b = rng.integers(0, V, E)
+    keep = a != b
+    edges = np.unique(np.stack([a[keep], b[keep]], 1), axis=0)
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    droot = f"{tmp_root}/cli_zero_dir"
+    g = partition_edges(ds, droot, V, num_parts=2, direction="fwd")
+    sroot = f"{tmp_root}/cli_zero_sym"
+    partition_edges(sym_dedup_edges(ds), sroot, V, num_parts=2,
+                    direction="fwd")
+
+    cli.main(["run", "--kernel", "ppr", "--graph", droot,
+              "--iters", "5", "--source", "0"])
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the CLI really seeded {0}: its per-step max_delta trail must match
+    # the library single-seed run exactly (the multi-seed default's
+    # deltas differ from the first step)
+    want_state, want_eng = ppr(g, np.array([0]), iters=5)
+    want_tail = [m.max_delta for m in want_eng.metrics[-3:]]
+    got_tail = [m["max_delta"] for m in got["metrics_tail"]]
+    assert got_tail == want_tail
+    want = want_state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    assert want["val"].to_numpy().argmax() == 0  # sanity: seed dominates
+
+    cli.main(["run", "--kernel", "kcore", "--graph", sroot, "--iters", "0"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["k"] == 0 and out["core_size"] == V
