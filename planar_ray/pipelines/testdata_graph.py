@@ -1117,6 +1117,58 @@ def _hits_sql(base: str, key_expr: str, iters: int = HITS_ITERS) -> str:
 SQL_G1_HITS = _hits_sql(_G1_BASE, _KEY_G1)
 
 
+HARMONIC_PIVOTS = 4
+
+
+def q_g2_harmonic(sf_dir: str) -> pa.Table:
+    """Sampled harmonic centrality — the pivot-BFS composition pattern:
+    h(v) = Σ_{s ∈ pivots} 1/d(s,v) over HARMONIC_PIVOTS BFS runs of the
+    SSSP kernel (d=0 self terms and unreachable pairs contribute 0).
+    Pivots are the smallest dense ids, which the order-preserving rank
+    makes exactly the smallest raw keys — the same rule the SQL twin's
+    ORDER BY v LIMIT applies. Each pivot is one frontier-kernel run, so
+    cost scales linearly in pivots and reuses the engine unchanged."""
+    from ..kernels.sssp import INF
+
+    g, iddict = _build(sf_dir, "g2")
+    harmonic = np.zeros(g.num_vertices)
+    for s in range(min(HARMONIC_PIVOTS, g.num_vertices)):
+        state, _eng = sssp(g, source=s, max_supersteps=SSSP_CAP)
+        tab = state.select_columns(["v", "val"]).to_pandas()
+        v = tab["v"].to_numpy()
+        d = tab["val"].to_numpy().astype(np.float64)
+        ok = (d > 0) & (d < float(INF))
+        harmonic[v[ok]] += 1.0 / d[ok]
+    import ray.data as rd
+
+    scores = rd.from_arrow(pa.table({
+        "v": np.arange(g.num_vertices, dtype=np.int64),
+        "h": harmonic,
+    }))
+    keyed = _attach_key(scores, iddict, "v", "rawkey").to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(keyed["rawkey"].to_numpy())),
+        "harmonic": pa.array(np.round(keyed["h"].to_numpy(), 6)),
+    })
+
+
+SQL_G2_HARMONIC = (
+    "WITH RECURSIVE " + _G2_BASE.strip() + ",\n"
+    + f"""piv AS MATERIALIZED (SELECT v FROM nodes ORDER BY v LIMIT {HARMONIC_PIVOTS}),
+walk(s, v, d) AS (
+  SELECT v, v, 0 FROM piv
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {SSSP_CAP}),
+dist AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY s, v)
+SELECT 'p' || CAST(n.v AS VARCHAR) AS node_key,
+       ROUND(COALESCE(SUM(CASE WHEN dist.d > 0 THEN 1.0 / dist.d END), 0), 6)
+         AS harmonic
+FROM nodes n LEFT JOIN dist ON dist.v = n.v
+GROUP BY n.v"""
+)
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1140,6 +1192,7 @@ QUERIES = {
     "g2_kcore": q_g2_kcore,
     "g1_ppr": q_g1_ppr,
     "g1_hits": q_g1_hits,
+    "g2_harmonic": q_g2_harmonic,
 }
 
 ORACLES = {
@@ -1165,4 +1218,5 @@ ORACLES = {
     "g2_kcore": SQL_G2_KCORE,
     "g1_ppr": SQL_G1_PPR,
     "g1_hits": SQL_G1_HITS,
+    "g2_harmonic": SQL_G2_HARMONIC,
 }
