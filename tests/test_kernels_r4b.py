@@ -321,3 +321,33 @@ def test_cli_ppr_source_zero_and_kcore_k_zero(tmp_root, capsys):
     cli.main(["run", "--kernel", "kcore", "--graph", sroot, "--iters", "0"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["k"] == 0 and out["core_size"] == V
+
+
+def test_hits_checkpoint_resume_phase_parity(tmp_root, tmp_path):
+    """Resume mid-run must restore the superstep counter so the
+    auth/hub phase alternation stays aligned: a run interrupted after
+    an ODD number of supersteps and resumed must reproduce the
+    uninterrupted scores exactly."""
+    from planar_ray.kernels.hits import hits
+
+    g, edges, V = _directed_random_graph(tmp_root, seed=71, V=300, E=900)
+    lift = f"{tmp_root}/hits_resume_lift"
+    full_state, _e, _ = hits(g, lift, iters=3)
+    want = full_state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+
+    run_dir = str(tmp_path / "hits_run")
+    # interrupt after 3 supersteps (mid-iteration: auth updated, hub not)
+    eng_kw = dict(run_dir=run_dir, checkpoint_every=1)
+    from planar_ray.graph import Graph
+    from planar_ray.kernels.hits import HITSKernel, lift_graph
+    from planar_ray.superstep import Engine
+
+    lifted = lift_graph(g, lift)
+    eng = Engine(lifted, HITSKernel(V, iters=3), **eng_kw)
+    eng.run(max_supersteps=3)
+    # resume to completion
+    res_state, _e2, _ = hits(g, lift, iters=3, run_dir=run_dir,
+                             checkpoint_every=1, resume=True)
+    got = res_state.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    np.testing.assert_allclose(got["val"].to_numpy(), want["val"].to_numpy(),
+                               rtol=0, atol=0)
