@@ -1000,6 +1000,117 @@ ORDER BY n DESC, token ASC LIMIT {TOP_TERMS_K}
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch (the "novel sketch" operator class)
+# ---------------------------------------------------------------------------
+
+HLL_B = 10                 # 2^10 = 1024 registers
+HLL_M = 1 << HLL_B
+HLL_SEED = 7640891576956012809  # splitmix golden-gamma derived (distinct seed)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values (no float log2 — w can exceed
+    2^53 where float rounding would misplace the boundary)."""
+    bl = np.zeros(len(w), np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def _hll_estimate(denom: float, nonzero: int) -> float:
+    """Standard HLL estimator with the linear-counting small-range
+    correction; ``denom`` already includes 2^0 = 1 per EMPTY register."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / denom
+    zeros = HLL_M - nonzero
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def q_doc_hll_vocab(sf_dir: str) -> pa.Table:
+    """Approximate distinct-token count via a distributed HyperLogLog:
+    per batch, tokens hash (poly+splitmix64) into 2^{HLL_B} registers
+    and the batch emits its ≤{HLL_M}-row register PARTIAL (max rho per
+    bucket — the combiner); one tiny groupby-max merges partials. At
+    100 TB this replaces doc_vocab's full token shuffle with a
+    constant-size exchange. The SQL twin replays the identical hash,
+    bucket split, exact-integer bit-length CASE chain and estimator."""
+    from ray.data.aggregate import Max
+
+    docs = _read_docs(sf_dir, columns=("text",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.schema([("bucket", pa.int64()),
+                              ("rho", pa.int64())]).empty_table()
+        hv = poly_splitmix_vec(flat, HLL_SEED)
+        bucket = (hv & np.uint64(HLL_M - 1)).astype(np.int64)
+        w = hv >> np.uint64(HLL_B)          # remaining 64-HLL_B bits
+        rho = (64 - HLL_B + 1) - _bit_length_u64(w)  # w==0 -> max rho
+        reg = np.zeros(HLL_M, np.int64)
+        np.maximum.at(reg, bucket, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table({"bucket": pa.array(nz),
+                         "rho": pa.array(reg[nz])})
+
+    regs = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Max(on="rho", alias_name="rho"))
+            .to_pandas())
+    nonzero = len(regs)
+    denom = float(np.sum(np.power(2.0, -regs["rho"].to_numpy(np.float64)))
+                  + (HLL_M - nonzero))
+    est = _hll_estimate(denom, nonzero)
+    return pa.table({"hll_vocab": pa.array([round(est, 6)], pa.float64())})
+
+
+def _hll_sql() -> str:
+    wbits = 64 - HLL_B
+    # exact integer thresholds: w >= 2^k  ->  bit_length k+1  ->  rho = wbits - k
+    rho_case = "CASE " + " ".join(
+        f"WHEN w >= {1 << k} THEN {wbits - k}"
+        for k in range(wbits - 1, -1, -1)
+    ) + f" ELSE {wbits + 1} END"
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    ctes = [
+        f"toks AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '{TOKEN_RE}')) AS tok FROM documents)",
+    ]
+    hctes, fin = _hash_sql_ctes("hv", "toks", "tok", HLL_SEED, [])
+    ctes += hctes
+    ctes += [
+        f"br AS (SELECT CAST(z % {HLL_M} AS BIGINT) AS bucket,"
+        f" z // {HLL_M} AS w FROM {fin})",
+        f"rr AS (SELECT bucket, {rho_case} AS rho FROM br)",
+        "regs AS (SELECT bucket, MAX(rho) AS rho FROM rr GROUP BY bucket)",
+        f"agg AS (SELECT SUM(POWER(2.0, -rho)) + ({HLL_M} - COUNT(*)) AS denom,"
+        f" {HLL_M} - COUNT(*) AS zeros FROM regs)",
+        # every float literal CAST to DOUBLE: DuckDB parses decimal
+        # literals as DECIMAL(18,..) whose products overflow
+        f"est AS (SELECT CAST({alpha!r} AS DOUBLE) * CAST({m!r} AS DOUBLE)"
+        f" * CAST({m!r} AS DOUBLE) / denom AS e, zeros FROM agg)",
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT ROUND(CASE WHEN e <= CAST({2.5 * m!r} AS DOUBLE)"
+            f" AND zeros > 0"
+            f" THEN CAST({m!r} AS DOUBLE) * ln(CAST({m!r} AS DOUBLE) / zeros)"
+            " ELSE e END, 6) AS hll_vocab"
+            " FROM est")
+
+
+SQL_DOC_HLL_VOCAB = _hll_sql()
+
+
+# ---------------------------------------------------------------------------
 # dictionary scrub (boilerplate / banned-term removal)
 # ---------------------------------------------------------------------------
 
@@ -1052,6 +1163,7 @@ QUERIES = {
     "doc_vocab": q_doc_vocab,
     "doc_top_terms": q_doc_top_terms,
     "doc_scrub": q_doc_scrub,
+    "doc_hll_vocab": q_doc_hll_vocab,
 }
 
 ORACLES = {
@@ -1066,4 +1178,5 @@ ORACLES = {
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "doc_scrub": SQL_DOC_SCRUB,
+    "doc_hll_vocab": SQL_DOC_HLL_VOCAB,
 }

@@ -351,3 +351,41 @@ def test_hits_checkpoint_resume_phase_parity(tmp_root, tmp_path):
     got = res_state.select_columns(["v", "val"]).to_pandas().sort_values("v")
     np.testing.assert_allclose(got["val"].to_numpy(), want["val"].to_numpy(),
                                rtol=0, atol=0)
+
+
+def test_hll_sketch_accuracy_and_bitlength():
+    """HLL internals: exact uint64 bit-length vs Python int.bit_length
+    (incl. >2^53 where float log2 misrounds), and the dense-register
+    estimator within ~4 standard errors on 200k distinct tokens (the
+    driver corpus's 31-word dictionary only exercises the
+    linear-counting branch)."""
+    from planar_ray.pipelines.docs import (
+        HLL_B,
+        HLL_M,
+        HLL_SEED,
+        _bit_length_u64,
+        _hll_estimate,
+    )
+    from planar_ray.util import poly_splitmix_vec
+
+    rng = np.random.default_rng(13)
+    w = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    w[:10] = [0, 1, 2, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+              (1 << 54) - 1, 1 << 54, (1 << 62), (1 << 63) - 1]
+    got = _bit_length_u64(w)
+    want = np.array([int(x).bit_length() for x in w], dtype=np.int64)
+    assert np.array_equal(got, want)
+
+    n_distinct = 200_000
+    toks = np.array([f"tok{i}" for i in range(n_distinct)], dtype=object)
+    hv = poly_splitmix_vec(toks, HLL_SEED)
+    bucket = (hv & np.uint64(HLL_M - 1)).astype(np.int64)
+    rho = (64 - HLL_B + 1) - _bit_length_u64(hv >> np.uint64(HLL_B))
+    reg = np.zeros(HLL_M, np.int64)
+    np.maximum.at(reg, bucket, rho)
+    nz = int((reg > 0).sum())
+    denom = float(np.sum(np.power(2.0, -reg[reg > 0].astype(np.float64)))
+                  + (HLL_M - nz))
+    est = _hll_estimate(denom, nz)
+    rel_err = abs(est - n_distinct) / n_distinct
+    assert rel_err < 4 * 1.04 / np.sqrt(HLL_M), (est, rel_err)
