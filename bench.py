@@ -196,6 +196,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     from planar_ray.pipelines.docs import (
         q_doc_exact_dedup,
         q_doc_fingerprint,
+        q_doc_hll_vocab,
         q_doc_minhash_dedup,
         q_doc_quality,
         q_doc_scrub,
@@ -210,6 +211,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         ("doc_simhash", q_doc_simhash),
         ("doc_fingerprint", q_doc_fingerprint),
         ("doc_scrub", q_doc_scrub),
+        ("doc_hll_vocab", q_doc_hll_vocab),
         ("ann_topk", q_ann_topk),
         ("ann_neardup", q_ann_neardup),
         ("ann_lsh_topk", q_ann_lsh_topk),
