@@ -191,12 +191,17 @@ def cmd_run(args) -> None:
         # (vertex 0 included — test the flag against None, not truthiness)
         seeds = (_np.array([args.source]) if args.source is not None
                  else _np.arange(0, g.num_vertices, 97))
-        _state, eng = K.ppr(g, seeds, iters=args.iters or 10,
+        # None-vs-0: --iters 0 is a valid zero-iteration run (matches the
+        # kcore/--source handling), not a fall-through to the default
+        _state, eng = K.ppr(g, seeds,
+                            iters=args.iters if args.iters is not None else 10,
                             resume=args.resume, **common)
     elif args.kernel == "hits":
         lift_root = os.path.join(args.graph, "hits_lift")
-        _state, eng, _V = K.hits(g, lift_root, iters=args.iters or 5,
-                                 resume=args.resume, **common)
+        _state, eng, _V = K.hits(
+            g, lift_root,
+            iters=args.iters if args.iters is not None else 5,
+            resume=args.resume, **common)
     else:  # pragma: no cover
         raise SystemExit(f"unknown kernel {args.kernel}")
     out["supersteps"] = len(eng.metrics)

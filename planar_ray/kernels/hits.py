@@ -114,13 +114,23 @@ class HITSKernel(Kernel):
 
 def lift_graph(graph: Graph, root: str, num_parts: int | None = None) -> Graph:
     """Materialise (cached) the bipartite lift of ``graph``: edge u->w
-    becomes u -> (V+w) and (V+w) -> u over 2V vertex ids."""
+    becomes u -> (V+w) and (V+w) -> u over 2V vertex ids.
+
+    The cache is VALIDATED against the base graph before reuse
+    (num_vertices == 2V and num_edges == 2E), not trusted on mere
+    existence — a base store rebuilt in place with different edges would
+    otherwise silently reuse a stale lift and return wrong scores."""
     import os
+    import shutil
 
     from ..graph import partition_edges
 
     if os.path.exists(os.path.join(root, "meta_fwd.json")):
-        return Graph.load(root, "fwd")
+        cached = Graph.load(root, "fwd")
+        if (cached.num_vertices == 2 * graph.num_vertices
+                and cached.num_edges == 2 * graph.num_edges):
+            return cached
+        shutil.rmtree(root, ignore_errors=True)  # stale lift: rebuild
     V = graph.num_vertices
 
     def lift(t: pa.Table) -> pa.Table:
@@ -159,7 +169,14 @@ def hits_scores(state, V: int) -> tuple[np.ndarray, np.ndarray]:
     auth_raw = np.zeros(V)
     hub_raw[v[v < V]] = val[v < V]
     auth_raw[v[v >= V] - V] = val[v >= V]
-    return hub_raw / hub_raw.sum(), auth_raw / auth_raw.sum()
+    hs, as_ = hub_raw.sum(), auth_raw.sum()
+    if hs <= 0.0 or as_ <= 0.0:
+        # an edge-free (or half-empty) graph has zero mass on a half —
+        # normalising would return silent NaN arrays
+        raise ValueError(
+            f"hits_scores: zero L1 mass (hub={hs}, auth={as_}) — "
+            "the graph has no edges feeding that half")
+    return hub_raw / hs, auth_raw / as_
 
 
 def hits_oracle(edges: np.ndarray, num_vertices: int, iters: int = 5):

@@ -98,32 +98,59 @@ class KCoreKernel(Kernel):
 
 
 def assert_symmetric_sample(graph: Graph, sample: int = 256) -> None:
-    """Cheap gate on the kcore input contract: sample edges from the
-    store and require no self-loops and the reverse edge present in its
-    partition's CSR. Catches the silent-wrong-result case of pointing
-    kcore at an ordinary directed store (degrees would then be
-    out-degrees only). O(sample) CSR lookups, not a full scan."""
+    """Cheap gate on the kcore input contract: sample edges SPREAD across
+    every partition (evenly-spaced edge offsets per partition's CSR, not
+    the head of the dataset — the store is src-sorted, so a head sample
+    would inspect only partition 0's lowest-id corner) and require no
+    self-loops and the reverse edge present in its partition's CSR.
+    Catches the silent-wrong-result case of pointing kcore at an ordinary
+    directed store (degrees would then be out-degrees only). O(sample)
+    vectorised lookups, not a full scan."""
     from ..graph import part_of
+    from ..util import repeat_ranges
 
-    t = graph.edges_dataset().limit(sample).to_pandas()
-    if not len(t):
+    per_part = max(1, sample // max(1, graph.num_parts))
+    src_l, dst_l = [], []
+    csr_cache: dict[int, object] = {}
+    for p in range(graph.num_parts):
+        csr = csr_cache.setdefault(p, graph.load_csr(p))
+        ne = len(csr.indices)
+        if ne == 0:
+            continue
+        # evenly-spaced edge offsets across the partition's whole range
+        eidx = np.unique(np.linspace(0, ne - 1, min(per_part, ne),
+                                     dtype=np.int64))
+        # src of edge offset e: the CSR row containing e
+        row = np.searchsorted(csr.indptr, eidx, side="right") - 1
+        src_l.append(row + csr.begin)
+        dst_l.append(csr.indices[eidx].astype(np.int64))
+    if not src_l:
         return
-    src = t["src"].to_numpy().astype(np.int64)
-    dst = t["dst"].to_numpy().astype(np.int64)
+    src = np.concatenate(src_l)
+    dst = np.concatenate(dst_l)
     if (src == dst).any():
         raise ValueError("kcore input contract: store contains self-loops "
                          "(build it with graph.sym_dedup_edges)")
     parts = part_of(dst, graph.boundaries)
     for p in np.unique(parts):
-        csr = graph.load_csr(int(p))
+        csr = csr_cache.setdefault(int(p), graph.load_csr(int(p)))
         m = parts == p
-        for s, d in zip(src[m], dst[m]):
-            lo, hi = csr.indptr[d - csr.begin], csr.indptr[d - csr.begin + 1]
-            if s not in csr.indices[lo:hi].astype(np.int64):
-                raise ValueError(
-                    f"kcore input contract: edge ({s},{d}) has no reverse "
-                    f"({d},{s}) — stored fwd is not symmetric (build it "
-                    "with graph.sym_dedup_edges)")
+        s_q, d_loc = src[m], dst[m] - csr.begin
+        # vectorised membership: gather each queried row's adjacency run
+        # and bincount matches back per query (no per-edge Python loop)
+        starts = csr.indptr[d_loc]
+        counts = csr.indptr[d_loc + 1] - starts
+        flat = csr.indices[repeat_ranges(starts, counts)].astype(np.int64)
+        owner = np.repeat(np.arange(len(s_q)), counts)
+        hit = np.bincount(owner[flat == np.repeat(s_q, counts)],
+                          minlength=len(s_q)) > 0
+        if not hit.all():
+            i = int(np.flatnonzero(~hit)[0])
+            s, d = int(s_q[i]), int(d_loc[i] + csr.begin)
+            raise ValueError(
+                f"kcore input contract: edge ({s},{d}) has no reverse "
+                f"({d},{s}) — stored fwd is not symmetric (build it "
+                "with graph.sym_dedup_edges)")
 
 
 def kcore(graph: Graph, k: int, max_iters: int = 200, run_dir=None,

@@ -178,11 +178,30 @@ def q_corpus_kcore(sf_dir: str) -> pa.Table:
 
     g, vdict = _build()
     sym_root = _root() + "_sym"
+    gsym = None
     if os.path.exists(os.path.join(sym_root, "meta_fwd.json")):
-        gsym = G.Graph.load(sym_root, "fwd")
-    else:
+        cand = G.Graph.load(sym_root, "fwd")
+        # validate the cache against the CURRENT base graph (same
+        # guard as hits.lift_graph): num_vertices must match and the
+        # sidecar must record the base store it was derived from
+        from ..util import read_json
+
+        side = os.path.join(sym_root, "base_meta.json")
+        base = read_json(side) if os.path.exists(side) else {}
+        if (cand.num_vertices == g.num_vertices
+                and base.get("num_edges") == g.num_edges):
+            gsym = cand
+    if gsym is None:
+        import shutil
+
+        shutil.rmtree(sym_root, ignore_errors=True)
         gsym = partition_edges(sym_dedup_edges(g.edges_dataset()), sym_root,
                                g.num_vertices, g.num_parts, "fwd")
+        from ..util import write_json_atomic
+
+        write_json_atomic(os.path.join(sym_root, "base_meta.json"),
+                          {"num_vertices": g.num_vertices,
+                           "num_edges": g.num_edges})
     state, _eng = kcore(gsym, 3)
     df = _with_keys(state, vdict, ["val", "alive"])
     alive = df["alive"].to_numpy().astype(np.int64)
