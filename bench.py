@@ -623,7 +623,79 @@ def _write_scaling_md(r: dict) -> None:
         f.write("\n".join(lines))
 
 
+def run_cluster() -> dict:
+    """Virtual multi-node evidence for the grouped wire (VERDICT r4
+    item 1) at bench scale: tools/cluster_wire.py on 4 nodes x 8 cpus
+    vs 1 node x 32 cpus, same Zipf graph. Appends to BENCH/BASELINE.md.
+
+    The virtual nodes share one box's DRAM, so s/step is an upper bound
+    on real-cluster cost (adds plasma transfers, shares bandwidth); the
+    object-placement accounting is exact either way."""
+    edges = int(os.environ.get("PLANAR_CLUSTER_EDGES", "16000000"))
+    parts = int(os.environ.get("PLANAR_CLUSTER_PARTS", "32"))
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def child(nodes: int, cpus: int) -> dict:
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "cluster_wire.py"),
+             "--nodes", str(nodes), "--cpus", str(cpus),
+             "--edges", str(edges), "--parts", str(parts),
+             "--steps", "6", "--time-batches", "3", "--store-mb", "2000"],
+            capture_output=True, text=True, check=True, cwd=here, env=env)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    multi = child(4, 8)
+    _eprint("cluster 4x8:", multi)
+    single = child(1, 32)
+    _eprint("single 1x32:", single)
+    r = {"metric": "grouped_wire_virtual_cluster", "edges": multi["edges"],
+         "parts": multi["parts"], "multi": multi, "single": single}
+    path = os.path.join(here, "BENCH", "BASELINE.md")
+    g, f = multi["grouped"], multi["flat"]
+    with open(path, "a") as fh:
+        fh.write("\n".join([
+            "",
+            f"## Virtual multi-node wire validation "
+            f"({time.strftime('%Y-%m-%d %H:%M:%S')})",
+            "",
+            f"`ray.cluster_utils.Cluster`, Zipf E={multi['edges']:,} "
+            f"P={multi['parts']}, PageRank fused supersteps "
+            f"(tools/cluster_wire.py; home-node soft pinning).",
+            "",
+            "| topology | wire | wave objects | copies mean/max | s/superstep |",
+            "|---|---|---|---|---|",
+            f"| 4 nodes x 8 cpus | grouped G={g['G']} | {g['wave_objects']} "
+            f"| {g['copies_mean']} / {g['copies_max']} "
+            f"| {g['sec_per_superstep']} |",
+            f"| 4 nodes x 8 cpus | flat P x P | {f['wave_objects']} "
+            f"| {f['copies_mean']} / {f['copies_max']} "
+            f"| {f['sec_per_superstep']} |",
+            f"| 1 node x 32 cpus | flat (G=1 auto) "
+            f"| {single['flat']['wave_objects']} "
+            f"| {single['flat']['copies_mean']} / "
+            f"{single['flat']['copies_max']} "
+            f"| {single['flat']['sec_per_superstep']} |",
+            "",
+            f"Bit-identical across wires AND topologies: "
+            f"multi {multi['bit_identical']}, digests "
+            f"{multi['digest']} == {single['digest']}: "
+            f"{multi['digest'] == single['digest']}. Every grouped "
+            f"message table held by <= 2 nodes "
+            f"(frac_le2={g['frac_copies_le2']}) — one fetch per "
+            f"destination node, member partitions slice the same plasma "
+            f"object. Virtual nodes share one box's DRAM: s/step here is "
+            f"an UPPER bound on a real cluster's exchange cost.",
+            "",
+        ]))
+    return r
+
+
 def main() -> None:
+    if "--cluster" in sys.argv:
+        print(json.dumps(run_cluster()))
+        return
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
         scaling_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))

@@ -931,6 +931,7 @@ def _write_state_part(run_dir_step: str, part: int, tab: pa.Table) -> int:
 
 
 _REMOTE_FN_CACHE: dict = {}
+_PIN_CACHE: dict = {}  # (RemoteFunction, node_id) -> options-wrapped fn
 
 
 def _remote_fn(fn, num_returns: int):
@@ -1037,6 +1038,32 @@ class Engine:
             self._group_cuts: list[int] | None = cuts
         else:
             self._group_cuts = None
+        # partition -> home-node map (multi-node only): every task of a
+        # partition (init, scatter, apply, fused) is SOFT-pinned to its
+        # home node so (a) a partition's state + CSR stay node-local
+        # across supersteps and (b) all member partitions of a
+        # destination GROUP consume their group table on ONE node — the
+        # grouped wire's "one fetch per group table per node" claim is a
+        # placement property, and this is the placement. soft=True keeps
+        # Ray free to reschedule on node loss (fault tolerance intact).
+        # Single-node: alive==1 -> None -> identical behavior to before.
+        self._part_node: list | None = None
+        if exchange == "direct":
+            try:
+                alive = sorted(
+                    n["NodeID"] for n in ray.nodes()
+                    if n.get("Alive") and n.get("Resources", {}).get("CPU"))
+            except Exception:
+                alive = []
+            if len(alive) > 1:
+                if self._group_cuts is not None:
+                    # group-major: group g's members share alive[g % n]
+                    self._part_node = [
+                        alive[self._dest_of(p) % len(alive)]
+                        for p in range(P)]
+                else:
+                    self._part_node = [alive[p % len(alive)]
+                                       for p in range(P)]
         self.run_id = uuid.uuid4().hex[:12]
         # pin the kernel and every partition's CSR in the object store ONCE;
         # scatter/init tasks ray.get them zero-copy (and memoise per worker
@@ -1312,8 +1339,9 @@ class Engine:
             self.globals = {k: (0 if v is None else v) for k, v in row.items()}
             return
         init = _remote_fn(_direct_init, 2)
-        outs = [init.remote(self.run_id, self._kernel_ref, self._csr_refs[p],
-                            self._apply_boundaries, p) for p in range(P)]
+        outs = [self._pin(init, p).remote(
+                    self.run_id, self._kernel_ref, self._csr_refs[p],
+                    self._apply_boundaries, p) for p in range(P)]
         self._state_refs = [o[0] for o in outs]
         stats = ray.get([o[1] for o in outs])
         self.globals = Kernel.merge_stats(stats, self.kernel.stats_spec)
@@ -1332,22 +1360,24 @@ class Engine:
                "num_edges": self.graph.num_edges,
                "superstep": superstep,
                "globals": dict(self.globals)}
-        outs = [scatter.remote(self.run_id, self._kernel_ref,
-                               self._csr_refs[p], self._apply_boundaries, p,
-                               self._state_refs[p],
-                               self._plan_refs[p] if self._plan_refs else None,
-                               gcuts)
+        outs = [self._pin(scatter, p).remote(
+                    self.run_id, self._kernel_ref,
+                    self._csr_refs[p], self._apply_boundaries, p,
+                    self._state_refs[p],
+                    self._plan_refs[p] if self._plan_refs else None,
+                    gcuts)
                 for p in range(P)]
         if n_dest == 1:
             outs = [[o] for o in outs]
         wants_csr = getattr(self.kernel, "wants_csr", False)
-        applied = [apply_.remote(self.run_id, self._kernel_ref,
-                                 self._apply_boundaries, ctx, q,
-                                 self._csr_refs[q] if wants_csr else None,
-                                 self._state_refs[q],
-                                 *[outs[p][self._dest_of(q)]
-                                   for p in range(P)],
-                                 group_cuts=gcuts)
+        applied = [self._pin(apply_, q).remote(
+                       self.run_id, self._kernel_ref,
+                       self._apply_boundaries, ctx, q,
+                       self._csr_refs[q] if wants_csr else None,
+                       self._state_refs[q],
+                       *[outs[p][self._dest_of(q)]
+                         for p in range(P)],
+                       group_cuts=gcuts)
                    for q in range(P)]
         self._state_refs = [a[0] for a in applied]
         if with_stats:
@@ -1372,6 +1402,25 @@ class Engine:
             self._checkpoint_direct(superstep, m)
         return m
 
+    def _pin(self, remote_fn, part: int):
+        """Home-node soft affinity for a partition's tasks (multi-node
+        only; identity on one node). Memoised per (fn, node) — .options
+        is cheap but P x supersteps calls add up."""
+        if self._part_node is None:
+            return remote_fn
+        node = self._part_node[part]
+        key = (remote_fn, node)
+        got = _PIN_CACHE.get(key)
+        if got is None:
+            from ray.util.scheduling_strategies import (
+                NodeAffinitySchedulingStrategy,
+            )
+
+            got = _PIN_CACHE[key] = remote_fn.options(
+                scheduling_strategy=NodeAffinitySchedulingStrategy(
+                    node_id=node, soft=True))
+        return got
+
     def _dest_of(self, q: int) -> int:
         """Destination index of partition q: its group on the two-level
         wire, else the partition itself."""
@@ -1394,11 +1443,12 @@ class Engine:
         n_dest = len(gcuts) - 1 if gcuts is not None else P
         if self._msg_refs is None:
             scatter = _remote_fn(_direct_scatter, n_dest)
-            outs = [scatter.remote(self.run_id, self._kernel_ref,
-                                   self._csr_refs[p], self._apply_boundaries,
-                                   p, self._state_refs[p],
-                                   self._plan_refs[p] if self._plan_refs
-                                   else None, gcuts)
+            outs = [self._pin(scatter, p).remote(
+                        self.run_id, self._kernel_ref,
+                        self._csr_refs[p], self._apply_boundaries,
+                        p, self._state_refs[p],
+                        self._plan_refs[p] if self._plan_refs
+                        else None, gcuts)
                     for p in range(P)]
             if n_dest == 1:
                 outs = [[o] for o in outs]
@@ -1408,14 +1458,15 @@ class Engine:
                "num_edges": self.graph.num_edges,
                "superstep": superstep,
                "globals": dict(self.globals)}
-        waves = [fused.remote(self.run_id, self._kernel_ref,
-                              self._apply_boundaries, ctx, q,
-                              self._csr_refs[q],
-                              self._plan_refs[q] if self._plan_refs else None,
-                              gcuts,
-                              self._state_refs[q],
-                              *[self._msg_refs[p][self._dest_of(q)]
-                                for p in range(P)])
+        waves = [self._pin(fused, q).remote(
+                     self.run_id, self._kernel_ref,
+                     self._apply_boundaries, ctx, q,
+                     self._csr_refs[q],
+                     self._plan_refs[q] if self._plan_refs else None,
+                     gcuts,
+                     self._state_refs[q],
+                     *[self._msg_refs[p][self._dest_of(q)]
+                       for p in range(P)])
                  for q in range(P)]
         self._msg_refs = [w[:n_dest] for w in waves]
         self._state_refs = [w[n_dest] for w in waves]
@@ -1455,7 +1506,7 @@ class Engine:
         state_dir = os.path.join(step_dir, "state")
         shutil.rmtree(state_dir, ignore_errors=True)
         w = _remote_fn(_write_state_part, 1)
-        ray.get([w.remote(state_dir, p, self._state_refs[p])
+        ray.get([self._pin(w, p).remote(state_dir, p, self._state_refs[p])
                  for p in range(len(self._state_refs))])
         self._checkpoint_manifest(step_dir, superstep, m)
 
