@@ -25,12 +25,10 @@ FEATURE_DIM = 8
 HIST_BINS = 16
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL decode stub — requires an image codec not present here."""
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg which are not available in this "
-        "environment; use fake_decode (deterministic) for tests"
-    )
+# Real pure-numpy decode (round 5 — formerly a NotImplementedError
+# stub): P6 PPM and 24-bit BMP decode natively; compressed formats
+# (JPEG/PNG) still raise naming the missing codec libs. See codecs.py.
+from ..codecs import decode_image  # noqa: F401  (re-exported surface)
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -49,7 +47,16 @@ class FeatureExtractor:
     def __init__(self, seed: int = 31, use_real_decode: bool = False):
         rng = np.random.default_rng(seed)
         self.weights = rng.standard_normal((HIST_BINS, FEATURE_DIM))
-        self.decode = decode_image if use_real_decode else fake_decode
+        if use_real_decode:
+            # real path: decode the image and histogram its pixel bytes
+            # into the same HIST_BINS-dim signal the fake path emits
+            def real_signal(payload: bytes) -> np.ndarray:
+                img = decode_image(payload)
+                return fake_decode(img.tobytes())
+
+            self.decode = real_signal
+        else:
+            self.decode = fake_decode
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
@@ -360,13 +367,197 @@ FROM byt GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+# ---------------------------------------------------------------------------
+# REAL decode queries (round 5): deterministic PPM/BMP/WAV fixtures are
+# generated per doc_id from a splitmix64 pixel/sample rule, ENCODED to
+# real container bytes, then decoded by the pure-numpy codecs
+# (codecs.py). The emitted stats are pure integers — pixel sum plus an
+# index-weighted checksum over the DECODED flattened array — so the SQL
+# oracle (which recomputes them from the generative rule, never seeing
+# the container bytes) is exact, and any decode bug that permutes,
+# pads, flips rows or swaps channels breaks the weighted checksum.
+# ---------------------------------------------------------------------------
+
+_PIX_STRIDE = 1 << 20  # doc_id * stride + i: images are < 2^20 pixels
+_AUDIO_SALT = 7_777_777
+
+
+def _gen_pixels(doc_id: int) -> tuple[int, int, np.ndarray]:
+    from ..util import splitmix64
+
+    w = 8 + doc_id % 5
+    h = 6 + doc_id % 4
+    n = w * h * 3
+    i = np.arange(n, dtype=np.uint64)
+    pix = (splitmix64(np.uint64(doc_id) * np.uint64(_PIX_STRIDE) + i)
+           % np.uint64(256)).astype(np.uint8)
+    return w, h, pix
+
+
+def _gen_samples(doc_id: int) -> tuple[int, int, np.ndarray]:
+    from ..util import splitmix64
+
+    frames = 200 + doc_id % 57
+    ch = 1 + doc_id % 2
+    n = frames * ch
+    i = np.arange(n, dtype=np.uint64)
+    z = splitmix64(
+        (np.uint64(doc_id) + np.uint64(_AUDIO_SALT))
+        * np.uint64(_PIX_STRIDE) + i)
+    s = (z % np.uint64(65536)).astype(np.int64) - 32768
+    return frames, ch, s.astype(np.int16)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: encode each doc's deterministic pixels to a
+    REAL container (even doc_id -> PPM, odd -> BMP — both codecs under
+    test every run), decode with codecs.decode_image, emit integer
+    stats of the decoded array."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..codecs import decode_image as dec, encode_bmp, encode_ppm
+
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"doc_id": [], "width": [], "height": [], "fmt": [],
+                "pix_sum": [], "wsum": []}
+        for did in doc_ids:
+            did = int(did)
+            w, h, pix = _gen_pixels(did)
+            img = pix.reshape(h, w, 3)
+            payload = encode_ppm(img) if did % 2 == 0 else encode_bmp(img)
+            out = dec(payload)  # the operator under test
+            flat = out.reshape(-1).astype(np.int64)
+            idx = np.arange(len(flat), dtype=np.int64)
+            rows["doc_id"].append(did)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["fmt"].append("ppm" if did % 2 == 0 else "bmp")
+            rows["pix_sum"].append(int(flat.sum()))
+            rows["wsum"].append(int((idx * flat).sum()))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "pix_sum": pa.array(rows["pix_sum"], pa.int64()),
+            "wsum": pa.array(rows["wsum"], pa.int64()),
+        })
+
+
+class AudioDecodeStage:
+    """Same shape for WAV: deterministic PCM16 samples -> encode_wav ->
+    decode_wav -> integer stats of the decoded interleaved stream."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..codecs import decode_wav, encode_wav
+
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"doc_id": [], "frames": [], "channels": [],
+                "sample_sum": [], "wsum": []}
+        for did in doc_ids:
+            did = int(did)
+            frames, ch, s = _gen_samples(did)
+            payload = encode_wav(s.reshape(frames, ch))
+            out, rate = decode_wav(payload)  # the operator under test
+            assert rate == 8000
+            flat = out.reshape(-1).astype(np.int64)
+            idx = np.arange(len(flat), dtype=np.int64)
+            rows["doc_id"].append(did)
+            rows["frames"].append(out.shape[0])
+            rows["channels"].append(out.shape[1])
+            rows["sample_sum"].append(int(flat.sum()))
+            rows["wsum"].append(int((idx * flat).sum()))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "frames": pa.array(rows["frames"], pa.int64()),
+            "channels": pa.array(rows["channels"], pa.int64()),
+            "sample_sum": pa.array(rows["sample_sum"], pa.int64()),
+            "wsum": pa.array(rows["wsum"], pa.int64()),
+        })
+
+
+def _doc_ids(sf_dir: str) -> Dataset:
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+
+def q_mm_decode(sf_dir: str) -> pa.Table:
+    out = _doc_ids(sf_dir).map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_mm_audio(sf_dir: str) -> pa.Table:
+    out = _doc_ids(sf_dir).map_batches(
+        AudioDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def _mm_decode_sql() -> str:
+    from .testdata_graph import _sql_mix
+
+    ctes, fin = _sql_mix(
+        "mx", "px", f"doc_id * {_PIX_STRIDE} + i", ["doc_id", "w", "h", "i"])
+    return f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (8 + doc_id % 5)::BIGINT AS w,
+         (6 + doc_id % 4)::BIGINT AS h
+  FROM documents
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d),
+{", ".join(ctes)}
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       SUM(z % 256)::BIGINT AS pix_sum,
+       SUM(i * (z % 256))::BIGINT AS wsum
+FROM {fin} GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+def _mm_audio_sql() -> str:
+    from .testdata_graph import _sql_mix
+
+    ctes, fin = _sql_mix(
+        "ax", "sx", f"(doc_id + {_AUDIO_SALT}) * {_PIX_STRIDE} + i",
+        ["doc_id", "frames", "ch", "i"])
+    return f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (200 + doc_id % 57)::BIGINT AS frames,
+         (1 + doc_id % 2)::BIGINT AS ch
+  FROM documents
+),
+sx AS (SELECT doc_id, frames, ch, unnest(range(0, frames * ch)) AS i FROM d),
+{", ".join(ctes)}
+SELECT doc_id, frames, ch AS channels,
+       SUM((z % 65536)::BIGINT - 32768)::BIGINT AS sample_sum,
+       SUM(i * ((z % 65536)::BIGINT - 32768))::BIGINT AS wsum
+FROM {fin} GROUP BY doc_id, frames, ch ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_features": q_mm_features_flat,
     "mm_frame_sample": q_mm_frame_sample_flat,
     "mm_resize": q_mm_resize_hex,
+    "mm_decode": q_mm_decode,
+    "mm_audio": q_mm_audio,
 }
 ORACLES: dict[str, str] = {
     "mm_features": _mm_features_sql(),
     "mm_frame_sample": _mm_frame_sample_sql(),
     "mm_resize": _mm_resize_sql(),
+    "mm_decode": _mm_decode_sql(),
+    "mm_audio": _mm_audio_sql(),
 }

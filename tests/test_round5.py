@@ -108,3 +108,82 @@ def test_hits_scores_zero_mass_raises():
     })
     with pytest.raises(ValueError, match="zero L1 mass"):
         hits_scores(rd.from_arrow(tab), V)
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (round 5: decode_image stub replaced)
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_comments():
+    from planar_ray.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (6, 9), (13, 7)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header with comments + multi-whitespace (netpbm spec)
+    img = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n 3  2 # trailing\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    from planar_ray.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(6)
+    # widths 4,5,6,7: exercise every row-padding remainder
+    for w in [4, 5, 6, 7]:
+        img = rng.integers(0, 256, (5, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # top-down variant (negative height) decodes without the flip
+    import struct
+
+    img = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(img[::-1]))  # stored order = img rows
+    payload[22:26] = struct.pack("<i", -3)
+    assert np.array_equal(decode_bmp(bytes(payload)), img)
+
+
+def test_wav_roundtrip_mono_stereo():
+    from planar_ray.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    for ch in [1, 2]:
+        s = rng.integers(-32768, 32768, (211, ch)).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s, sample_rate=16000))
+        assert rate == 16000
+        assert np.array_equal(out, s)
+
+
+def test_decode_image_dispatch_and_errors():
+    from planar_ray.codecs import decode_image, encode_bmp, encode_ppm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError, match="unrecognised"):
+        decode_image(b"??nonsense")
+
+
+def test_mm_decode_queries_match_duckdb():
+    import duckdb
+
+    from planar_ray.pipelines import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for name in ("mm_decode", "mm_audio"):
+        got = mm.QUERIES[name](sf).to_pandas()
+        want = con.execute(mm.ORACLES[name]).df()
+        assert len(got) == len(want)
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
