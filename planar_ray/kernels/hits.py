@@ -179,6 +179,50 @@ def hits_scores(state, V: int) -> tuple[np.ndarray, np.ndarray]:
     return hub_raw / hs, auth_raw / as_
 
 
+def hits_scores_dataset(state, V: int):
+    """Distributed variant of :func:`hits_scores` (round 5): returns a
+    Dataset (v, hub, auth) over the ORIGINAL id space with both halves
+    L1-normalised — no dense V-sized driver arrays. The only values that
+    touch the driver are the two half sums (per-batch partials summed in
+    sorted order for determinism, matching ``hits_scores``'s np.sum
+    pairwise-equivalent accumulation to float ulp; consumers round to
+    1e-6)."""
+    vals = state.select_columns(["v", "val"]).materialize()
+
+    def half_sums(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hub_s": pa.array([float(val[v < V].sum())]),
+            "auth_s": pa.array([float(val[v >= V].sum())]),
+        })
+
+    parts = vals.map_batches(half_sums, batch_format="pyarrow").to_pandas()
+    hs = float(np.sort(parts["hub_s"].to_numpy()).sum())
+    as_ = float(np.sort(parts["auth_s"].to_numpy()).sum())
+    if hs <= 0.0 or as_ <= 0.0:
+        raise ValueError(
+            f"hits_scores_dataset: zero L1 mass (hub={hs}, auth={as_})")
+
+    def split(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        is_hub = v < V
+        return pa.table({
+            "v": pa.array(np.where(is_hub, v, v - V)),
+            "hub": pa.array(np.where(is_hub, val / hs, 0.0)),
+            "auth": pa.array(np.where(is_hub, 0.0, val / as_)),
+        })
+
+    # each original id has exactly one hub row (v < V) and one auth row
+    # (v >= V); one grouped sum folds them to (v, hub, auth)
+    from ray.data.aggregate import Sum
+
+    return (vals.map_batches(split, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum(on="hub", alias_name="hub"),
+                                    Sum(on="auth", alias_name="auth")))
+
+
 def hits_oracle(edges: np.ndarray, num_vertices: int, iters: int = 5):
     """Dense NumPy HITS oracle (tests): identical lazy-normalised
     update order. Returns (hub, auth) L1-normalised."""

@@ -228,19 +228,12 @@ def q_corpus_ppr(sf_dir: str) -> pa.Table:
 
 def q_corpus_hits(sf_dir: str) -> pa.Table:
     """HITS hubs/authorities over the import graph (bipartite lift)."""
-    import ray.data as rd
-
     from ..kernels import hits
-    from ..kernels.hits import hits_scores
+    from ..kernels.hits import hits_scores_dataset
 
     g, vdict = _build()
     state, _eng, V = hits(g, _root() + "_hits_lift", iters=5)
-    hub, auth = hits_scores(state, V)
-    scores = rd.from_arrow(pa.table({
-        "v": np.arange(V, dtype=np.int64),
-        "hub": hub,
-        "auth": auth,
-    }))
+    scores = hits_scores_dataset(state, V)  # no dense driver arrays
     df = hash_bucket_join(scores, vdict.select_columns(["key", "v"]),
                           left_on="v", right_on="v").to_pandas()
     return pa.table({

@@ -1067,18 +1067,15 @@ def q_g1_hits(sf_dir: str) -> pa.Table:
     (kernels/hits.py): customers are pure hubs, orders pure
     authorities — the zero halves exercise the lazily-normalised
     update's empty-message paths."""
-    import ray.data as rd
-
-    from ..kernels.hits import hits, hits_scores
+    # round 5: hits_scores_dataset unpacks the lift distributively (one
+    # grouped sum over (v % V)) — no dense V-sized driver arrays
+    from ..kernels.hits import hits, hits_scores_dataset
 
     g, iddict = _build(sf_dir, "g1")
     lift_root = os.path.join(_cache_root(sf_dir), "g1_hits_lift")
     state, _eng, V = hits(g, lift_root, iters=HITS_ITERS)
-    hub, auth = hits_scores(state, V)
-    keyed = _attach_key(
-        rd.from_arrow(pa.table({"v": np.arange(V, dtype=np.int64),
-                                "hub": hub, "auth": auth})),
-        iddict, "v", "rawkey").to_pandas()
+    scores = hits_scores_dataset(state, V)
+    keyed = _attach_key(scores, iddict, "v", "rawkey").to_pandas()
     return pa.table({
         "node_key": pa.array(_format_keys(keyed["rawkey"].to_numpy())),
         "hub": pa.array(np.round(keyed["hub"].to_numpy(), 6)),
@@ -1128,27 +1125,18 @@ def q_g2_harmonic(sf_dir: str) -> pa.Table:
     makes exactly the smallest raw keys — the same rule the SQL twin's
     ORDER BY v LIMIT applies. Each pivot is one frontier-kernel run, so
     cost scales linearly in pivots and reuses the engine unchanged."""
-    from ..kernels.sssp import INF
+    # round 5: the accumulator is a STATE COLUMN threaded between pivot
+    # runs (kernels/harmonic.py, initial_state= seeding) — no dense
+    # driver-side np.zeros(V); per-vertex accumulation order is pivot
+    # order either way, so results are bit-equal to the old form
+    from ..kernels.harmonic import harmonic as harmonic_ds
 
     g, iddict = _build(sf_dir, "g2")
-    harmonic = np.zeros(g.num_vertices)
-    for s in range(min(HARMONIC_PIVOTS, g.num_vertices)):
-        state, _eng = sssp(g, source=s, max_supersteps=SSSP_CAP)
-        tab = state.select_columns(["v", "val"]).to_pandas()
-        v = tab["v"].to_numpy()
-        d = tab["val"].to_numpy().astype(np.float64)
-        ok = (d > 0) & (d < float(INF))
-        harmonic[v[ok]] += 1.0 / d[ok]
-    import ray.data as rd
-
-    scores = rd.from_arrow(pa.table({
-        "v": np.arange(g.num_vertices, dtype=np.int64),
-        "h": harmonic,
-    }))
+    scores = harmonic_ds(g, HARMONIC_PIVOTS, max_supersteps=SSSP_CAP)
     keyed = _attach_key(scores, iddict, "v", "rawkey").to_pandas()
     return pa.table({
         "node_key": pa.array(_format_keys_p(keyed["rawkey"].to_numpy())),
-        "harmonic": pa.array(np.round(keyed["h"].to_numpy(), 6)),
+        "harmonic": pa.array(np.round(keyed["harmonic"].to_numpy(), 6)),
     })
 
 

@@ -187,3 +187,72 @@ def test_mm_decode_queries_match_duckdb():
         import pandas as pd
 
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# state-column harmonic + distributed hits_scores (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+def test_harmonic_state_column_matches_dense_oracle(tmp_root):
+    """kernels.harmonic (acc threaded via initial_state=) vs a dense
+    numpy BFS oracle on a random directed graph."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.harmonic import harmonic
+
+    V, E, PIV = 300, 1200, 6
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    keep = src != dst
+    edges = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]})),
+        f"{tmp_root}/harm_g", V, num_parts=3, direction="fwd")
+
+    got = harmonic(g, PIV).to_pandas().sort_values("v")
+    # dense oracle: BFS hop distances from each pivot (pivot order)
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[int(a)].append(int(b))
+    want = np.zeros(V)
+    for s in range(PIV):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for vtx, d in dist.items():
+            if d > 0:
+                want[vtx] += 1.0 / d
+    np.testing.assert_allclose(
+        got["harmonic"].to_numpy(), want, atol=1e-12)
+
+
+def test_hits_scores_dataset_matches_dense(tmp_root):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.hits import (hits, hits_scores,
+                                         hits_scores_dataset)
+
+    V = 120
+    rng = np.random.default_rng(21)
+    e = np.unique(np.stack([rng.integers(0, V, 400),
+                            rng.integers(0, V, 400)], 1), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/hsd_g", V, num_parts=2, direction="fwd")
+    state, _eng, _V = hits(g, f"{tmp_root}/hsd_lift", iters=3)
+    hub, auth = hits_scores(state, V)
+    got = hits_scores_dataset(state, V).to_pandas().sort_values("v")
+    assert len(got) == V
+    np.testing.assert_allclose(got["hub"].to_numpy(), hub, atol=1e-12)
+    np.testing.assert_allclose(got["auth"].to_numpy(), auth, atol=1e-12)
