@@ -256,3 +256,106 @@ def test_hits_scores_dataset_matches_dense(tmp_root):
     assert len(got) == V
     np.testing.assert_allclose(got["hub"].to_numpy(), hub, atol=1e-12)
     np.testing.assert_allclose(got["auth"].to_numpy(), auth, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# PLANAR_GROUP_AUTO_P single-node CI coverage (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+def test_auto_grouped_path_at_high_p(tmp_root, monkeypatch):
+    """P > 32 with no explicit node_groups must take the AUTO-grouped
+    wire (G = alive nodes = 1 locally -> one group table per source)
+    and stay bit-identical to the flat wire."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.pagerank import PageRankKernel
+    from planar_ray.superstep import Engine
+
+    monkeypatch.delenv("PLANAR_NODE_GROUPS", raising=False)
+    monkeypatch.delenv("PLANAR_GROUP_AUTO_P", raising=False)
+    V, E = 4000, 16000
+    rng = np.random.default_rng(33)
+    e = np.stack([rng.integers(0, V, E), rng.integers(0, V, E)], 1)
+    e = e[e[:, 0] != e[:, 1]]
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/autop_g", V, num_parts=40, direction="fwd")
+    P = g.num_parts
+    assert P > 32, f"need P>32 to trip the default AUTO_P gate, got {P}"
+
+    def run(node_groups):
+        eng = Engine(g, PageRankKernel(fixed_iters=10_000),
+                     node_groups=node_groups, stats_every=100)
+        if node_groups is None:
+            assert eng._group_cuts == [0, P], \
+                f"auto path expected single group, got {eng._group_cuts}"
+        else:
+            assert eng._group_cuts is None
+        eng.init_state_direct()
+        for s in range(5):
+            eng.step_fused(s, with_stats=False)
+        import ray
+
+        tabs = [t for t in ray.get(list(eng._state_refs)) if len(t)]
+        eng.close()
+        t = pa.concat_tables(tabs)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        o = np.argsort(v)
+        return v[o], val[o]
+
+    v1, auto = run(None)
+    v2, flat = run(P)
+    assert np.array_equal(v1, v2)
+    assert np.array_equal(auto, flat)  # bitwise
+
+
+# ---------------------------------------------------------------------------
+# blockbin golden byte layout (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+def test_blockbin_golden_bytes(tmp_root):
+    """The automated planar_check eyeball step: a tiny graph written
+    through the normal pipeline must produce degree.bin / index.bin /
+    edges.bin BYTE-FOR-BYTE equal to the hand-computed reference layout
+    (uint32 degrees, int64 ceil(n/R)+1 sampled offsets, uint32 dsts)."""
+    import struct
+
+    import ray.data as rd
+
+    from planar_ray import blockbin
+    from planar_ray.graph import partition_edges
+
+    edges = [(0, 1), (0, 2), (1, 3), (3, 0), (3, 4), (4, 0)]
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        f"{tmp_root}/golden_g", 5, num_parts=1, direction="fwd")
+    assert g.num_parts == 1
+    blockbin.convert_graph(g, offset_ratio=2)
+    bdir = f"{g.part_dir(0)}/blockbin"
+
+    # hand-computed: degrees per vertex 0..4, indptr [0,2,3,3,5,6],
+    # offset samples every R=2 rows + final (n=5 odd -> appended)
+    golden_degree = struct.pack("<5I", 2, 1, 0, 2, 1)
+    golden_index = struct.pack("<4q", 0, 3, 5, 6)
+    golden_edges = struct.pack("<6I", 1, 2, 3, 0, 4, 0)
+    assert open(f"{bdir}/degree.bin", "rb").read() == golden_degree
+    assert open(f"{bdir}/index.bin", "rb").read() == golden_index
+    assert open(f"{bdir}/edges.bin", "rb").read() == golden_edges
+
+    # R | n variant: no duplicated final offset (exact layout)
+    indptr = np.array([0, 1, 1, 3, 4], np.int64)  # n=4, R=2
+    indices = np.array([3, 0, 1, 2], np.uint32)
+    pdir = f"{tmp_root}/golden_even"
+    import os
+
+    os.makedirs(pdir, exist_ok=True)
+    blockbin.write_block_bin(pdir, 0, 4, indptr, indices, offset_ratio=2)
+    assert open(f"{pdir}/blockbin/index.bin", "rb").read() == \
+        struct.pack("<3q", 0, 1, 4)
+    b, e_, ip, ix = blockbin.read_block_bin(pdir)
+    assert (b, e_) == (0, 4)
+    assert np.array_equal(ip, indptr) and np.array_equal(ix, indices)
