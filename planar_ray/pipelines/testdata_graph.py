@@ -115,8 +115,36 @@ def g2_edge_ids(sf_dir: str) -> Dataset:
     )
 
 
+SCC_MOD = 500  # g3 node space: two functional maps over [0, SCC_MOD)
+
+
+def g3_edge_ids(sf_dir: str) -> Dataset:
+    """Directed graph WITH cycles for SCC (g1 is acyclic-bipartite, g2
+    symmetric): the union of two functional maps over a mod-SCC_MOD id
+    space — (o % M) -> ((o*37+11) % M) and ((c*13+5) % M) -> (o % M) —
+    self-loops dropped, exact dedup. Functional-graph unions are
+    rho-shaped and SCC-rich; the rule is trivially SQL-expressible."""
+    M = SCC_MOD
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b, c = ok % M, (ok * 37 + 11) % M, (ck * 13 + 5) % M
+        src = np.concatenate([a, c])
+        dst = np.concatenate([b, a])
+        keep = src != dst
+        pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0]),
+                         "dst": pa.array(pairs[:, 1])})
+
+    e = orders.map_batches(f, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="_n")).select_columns(["src", "dst"])
+
+
 def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
-    """Build (or reload) the compacted graph + id dictionary for g1/g2."""
+    """Build (or reload) the compacted graph + id dictionary for g1/g2/g3."""
     import ray.data as rd
 
     root = os.path.join(_cache_root(sf_dir), which)
@@ -124,7 +152,8 @@ def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
     if os.path.exists(os.path.join(root, "meta_fwd.json")) and os.path.isdir(dict_dir):
         return Graph.load(root, "fwd"), rd.read_parquet(dict_dir)
 
-    edges = (g1_edge_ids if which == "g1" else g2_edge_ids)(sf_dir).materialize()
+    edges = {"g1": g1_edge_ids, "g2": g2_edge_ids,
+             "g3": g3_edge_ids}[which](sf_dir).materialize()
     keys = edges.map_batches(
         lambda t: pa.table(
             {"key": pa.concat_arrays(
@@ -1157,6 +1186,51 @@ GROUP BY n.v"""
 )
 
 
+def q_g3_scc(sf_dir: str) -> pa.Table:
+    """SCC labels over the g3 directed graph via the coloring-algorithm
+    kernel pair (kernels/scc.py). Labels are the MAX member id; the
+    order-preserving rank makes internal-max == raw-key-max, which the
+    SQL twin's mutual-reachability closure computes directly."""
+    from ..kernels.scc import scc as scc_run
+
+    g, iddict = _build(sf_dir, "g3")
+    labels, _info = scc_run(g)
+    keyed = _attach_key(labels, iddict, "v", "rawkey")
+    keyed = _attach_key(keyed, iddict, "scc", "scckey").to_pandas()
+    return pa.table({
+        "node_key": pa.array(
+            [f"s{int(k)}" for k in keyed["rawkey"].to_numpy()]),
+        "scc_key": pa.array(
+            [f"s{int(k)}" for k in keyed["scckey"].to_numpy()]),
+    })
+
+
+SQL_G3_SCC = f"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT CAST(o_orderkey % {SCC_MOD} AS BIGINT) AS a,
+         CAST((o_orderkey * 37 + 11) % {SCC_MOD} AS BIGINT) AS b,
+         CAST((o_custkey * 13 + 5) % {SCC_MOD} AS BIGINT) AS c
+  FROM orders),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM base WHERE a <> b
+  UNION
+  SELECT c, a FROM base WHERE c <> a),
+nodes AS MATERIALIZED (
+  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+reach(s, v) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+mutual AS (
+  SELECT r1.s AS v, r1.v AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s)
+SELECT 's' || CAST(v AS VARCHAR) AS node_key,
+       's' || CAST(MAX(u) AS VARCHAR) AS scc_key
+FROM mutual GROUP BY v
+"""
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1181,6 +1255,7 @@ QUERIES = {
     "g1_ppr": q_g1_ppr,
     "g1_hits": q_g1_hits,
     "g2_harmonic": q_g2_harmonic,
+    "g3_scc": q_g3_scc,
 }
 
 ORACLES = {
@@ -1207,4 +1282,5 @@ ORACLES = {
     "g1_ppr": SQL_G1_PPR,
     "g1_hits": SQL_G1_HITS,
     "g2_harmonic": SQL_G2_HARMONIC,
+    "g3_scc": SQL_G3_SCC,
 }

@@ -250,6 +250,16 @@ def combine_min(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.n
     return uniq, np.minimum.reduceat(v, starts)
 
 
+def combine_max(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # mirror of combine_min (max is order-independent, exact)
+    if len(targets) == 0:
+        return targets, vals
+    order = np.argsort(targets, kind="stable")
+    t, v = targets[order], vals[order]
+    uniq, starts = np.unique(t, return_index=True)
+    return uniq, np.maximum.reduceat(v, starts)
+
+
 def combine_pair_counts(a: np.ndarray, b: np.ndarray, w: np.ndarray | None = None):
     """Grouped count/sum over (a, b) pairs -> (ua, ub, counts). Deterministic."""
     order = np.lexsort((b, a))

@@ -359,3 +359,53 @@ def test_blockbin_golden_bytes(tmp_root):
     b, e_, ip, ix = blockbin.read_block_bin(pdir)
     assert (b, e_) == (0, 4)
     assert np.array_equal(ip, indptr) and np.array_equal(ix, indices)
+
+
+# ---------------------------------------------------------------------------
+# SCC (round-5 kernel addition)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,V,E", [(1, 60, 150), (2, 200, 700),
+                                      (3, 150, 220)])
+def test_scc_matches_matrix_closure(tmp_root, seed, V, E):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.scc import scc, scc_oracle
+
+    rng = np.random.default_rng(seed)
+    e = np.stack([rng.integers(0, V, E), rng.integers(0, V, E)], 1)
+    e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/scc_{seed}", V, num_parts=3, direction="fwd")
+    labels, info = scc(g)
+    t = labels.to_pandas().sort_values("v")
+    got = t["scc"].to_numpy()
+    want = scc_oracle(e, V)
+    assert np.array_equal(got, want), \
+        f"phase/supersteps={info}, first diff at " \
+        f"{np.flatnonzero(got != want)[:5]}"
+    assert (got >= 0).all()
+
+
+def test_scc_structures(tmp_root):
+    """Hand-built: a 3-cycle, a 2-cycle feeding a chain, an isolated
+    vertex — exact expected labels."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.scc import scc
+
+    # cycle {0,1,2}; 2-cycle {3,4} -> chain 5 -> 6; isolated 7 (via pad edge 8->7)
+    edges = np.array([(0, 1), (1, 2), (2, 0),
+                      (3, 4), (4, 3), (4, 5), (5, 6), (8, 7)])
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]})),
+        f"{tmp_root}/scc_hand", 9, num_parts=2, direction="fwd")
+    labels, _info = scc(g)
+    t = labels.to_pandas().sort_values("v")
+    got = dict(zip(t["v"], t["scc"]))
+    assert got[0] == got[1] == got[2] == 2
+    assert got[3] == got[4] == 4
+    assert got[5] == 5 and got[6] == 6 and got[7] == 7 and got[8] == 8
