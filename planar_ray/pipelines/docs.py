@@ -1151,6 +1151,99 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _doc_token_tf(sf_dir: str) -> "Dataset":
+    """(doc_id, token, tf) — per-batch Arrow tokenisation (no Python in
+    the loop) with a per-batch (doc, token) combine before the df
+    shuffle."""
+    docs = _read_docs(sf_dir, columns=("doc_id", "text"))
+
+    def f(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        low = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            lens)
+        keep = pc.not_equal(flat, "")
+        doc = doc[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        if len(doc) == 0:
+            return pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                              ("tf", pa.int64())]).empty_table()
+        df = pd.DataFrame({"doc_id": doc, "token": flat.to_pandas()})
+        gc = (df.groupby(["doc_id", "token"], sort=False).size()
+              .reset_index(name="tf"))
+        return pa.table({"doc_id": pa.array(gc["doc_id"].to_numpy()),
+                         "token": pa.array(gc["token"], pa.string()),
+                         "tf": pa.array(gc["tf"].to_numpy(np.int64))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_tfidf(sf_dir: str) -> pa.Table:
+    """Highest-tfidf token per document (tf * ln(N/df); ties -> token
+    asc): tf rows join the df aggregate on token (one bounded shuffle
+    each), per-doc argmax via groupby — nothing dense on the driver."""
+    from ray.data.aggregate import Count
+
+    from ..joins import hash_bucket_join
+
+    tf = _doc_token_tf(sf_dir).materialize()
+    n_docs = float(_read_docs(sf_dir, columns=("doc_id",)).count())
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_bucket_join(tf, df, left_on="token", right_on="token")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = (t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+             * np.log(n_docs
+                      / t["df"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64)))
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "tfidf": pa.array(np.round(s, 6))})
+
+    def top1(t: pa.Table) -> pa.Table:
+        tt = t.to_pandas().sort_values(
+            ["tfidf", "token"], ascending=[False, True]).head(1)
+        return pa.Table.from_pandas(tt, preserve_index=False)
+
+    out = (joined.map_batches(score, batch_format="pyarrow")
+           .groupby("doc_id").map_groups(top1, batch_format="pyarrow")
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+SQL_DOC_TFIDF = f"""
+WITH dt AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+        FROM documents)
+  GROUP BY doc_id, token),
+dfv AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT dt.doc_id, dt.token, ROUND(dt.tf * ln(n.n / dfv.df), 6) AS tfidf
+  FROM dt JOIN dfv USING (token) CROSS JOIN n)
+SELECT doc_id, token, tfidf FROM sc
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
@@ -1164,6 +1257,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "doc_scrub": q_doc_scrub,
     "doc_hll_vocab": q_doc_hll_vocab,
+    "doc_tfidf": q_doc_tfidf,
 }
 
 ORACLES = {
@@ -1172,6 +1266,7 @@ ORACLES = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
     "doc_vocab": SQL_DOC_VOCAB,
+    "doc_tfidf": SQL_DOC_TFIDF,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_simhash": SQL_DOC_SIMHASH,

@@ -1231,6 +1231,163 @@ FROM mutual GROUP BY v
 """
 
 
+AA_TOP_K = 50
+AA_BUCKETS = 32
+# middle vertices above this degree are EXCLUDED (both sides of the
+# oracle): super-hub common neighbors carry ~1/ln(d) ~ 0 signal each and
+# their d^2 pair expansion is the only unbounded term — the cap is the
+# standard scale guard and bounds per-vertex work at CAP^2
+AA_HUB_CAP = 256
+
+
+def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
+    """Adamic-Adar link prediction over the undirected g2 graph: for
+    every NON-adjacent pair (a < b) sharing neighbors, score =
+    Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)); top-{AA_TOP_K} pairs.
+
+    Plan (scale shape): pair generation runs per CSR partition with NO
+    shuffle — vertices are grouped by degree class and each class's
+    neighbor matrix expands through one cached triu index pair (fully
+    vectorised, no per-vertex Python loop). Generated (a,b,w) partials
+    and canonical edge markers hash-bucket on the pair, ONE bounded
+    shuffle; each bucket sums partials, drops marked (adjacent) pairs
+    and keeps a local top-K, so the driver sees ≤ buckets*K rows.
+    Middle vertices above AA_HUB_CAP are excluded on BOTH sides of the
+    oracle (their 1/ln(d) terms are noise and their d^2 expansion is
+    the only unbounded cost), so per-vertex work is <= CAP^2 and total
+    pair volume is bounded by E * CAP."""
+    import ray.data as rd
+
+    from ..graph import CSRPart
+    from ..util import splitmix64
+
+    g, iddict = _build(sf_dir, "g2")
+    boundaries, root, direction = g.boundaries, g.root, g.direction
+    P = g.num_parts
+
+    def gen_pairs(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["id"].to_numpy():
+            p = int(p)
+            begin, end = int(boundaries[p]), int(boundaries[p + 1])
+            csr = CSRPart.load(
+                os.path.join(root, direction, f"part={p:05d}"), begin, end)
+            deg = np.diff(csr.indptr)
+            idx = csr.indices.astype(np.int64)
+            for d in np.unique(deg[(deg >= 2) & (deg <= AA_HUB_CAP)]):
+                vloc = np.flatnonzero(deg == d)
+                starts = csr.indptr[vloc]
+                # (k, d) neighbor matrix of every degree-d vertex
+                mat = idx[(starts[:, None]
+                           + np.arange(d)[None, :]).reshape(-1)]
+                mat = mat.reshape(len(vloc), d)
+                iu, ju = np.triu_indices(d, k=1)
+                a = mat[:, iu].reshape(-1)
+                b = mat[:, ju].reshape(-1)
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                w = np.full(len(lo), 1.0 / np.log(float(d)))
+                outs.append((lo, hi, w))
+        if not outs:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64()),
+                             "edge": pa.array([], pa.int8()),
+                             "bucket": pa.array([], pa.int64())})
+        lo = np.concatenate([o[0] for o in outs])
+        hi = np.concatenate([o[1] for o in outs])
+        w = np.concatenate([o[2] for o in outs])
+        # per-batch combine (sorted pair groups) before the shuffle
+        order = np.lexsort((hi, lo))
+        lo, hi, w = lo[order], hi[order], w[order]
+        new = np.ones(len(lo), bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts = np.flatnonzero(new)
+        lo, hi = lo[starts], hi[starts]
+        w = np.add.reduceat(w, starts)
+        key = splitmix64(lo.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         ^ hi.astype(np.uint64))
+        return pa.table({
+            "a": pa.array(lo), "b": pa.array(hi), "w": pa.array(w),
+            "edge": pa.array(np.zeros(len(lo), np.int8)),
+            "bucket": pa.array(
+                (key % np.uint64(AA_BUCKETS)).astype(np.int64)),
+        })
+
+    pairs = rd.range(P, override_num_blocks=P).map_batches(
+        gen_pairs, batch_format="pyarrow", batch_size=1)
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s < d  # canonical orientation of the symmetric store
+        s, d = s[keep], d[keep]
+        key = splitmix64(s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         ^ d.astype(np.uint64))
+        return pa.table({
+            "a": pa.array(s), "b": pa.array(d),
+            "w": pa.array(np.zeros(len(s))),
+            "edge": pa.array(np.ones(len(s), np.int8)),
+            "bucket": pa.array(
+                (key % np.uint64(AA_BUCKETS)).astype(np.int64)),
+        })
+
+    markers = g.edges_dataset().map_batches(edge_markers,
+                                            batch_format="pyarrow")
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        is_edge = t["edge"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((b, a))
+        a, b, w, is_edge = a[order], b[order], w[order], is_edge[order]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        ga, gb = a[starts], b[starts]
+        gw = np.add.reduceat(w, starts)
+        has_edge = np.logical_or.reduceat(is_edge, starts)
+        keep = ~has_edge & (gw > 0)
+        ga, gb, gw = ga[keep], gb[keep], np.round(gw[keep], 6)
+        top = np.lexsort((gb, ga, -gw))[:AA_TOP_K]
+        return pa.table({"a": pa.array(ga[top]), "b": pa.array(gb[top]),
+                         "score": pa.array(gw[top])})
+
+    local = pairs.union(markers).groupby("bucket").map_groups(
+        bucket_topk, batch_format="pyarrow").to_pandas()
+    # internal-id tie-break == raw-key tie-break (order-preserving rank)
+    top = local.sort_values(["score", "a", "b"],
+                            ascending=[False, True, True]).head(AA_TOP_K)
+    keyed = rd.from_arrow(pa.Table.from_pandas(top, preserve_index=False))
+    keyed = _attach_key(keyed, iddict, "a", "rawa")
+    keyed = _attach_key(keyed, iddict, "b", "rawb").to_pandas()
+    keyed = keyed.sort_values(["score", "rawa", "rawb"],
+                              ascending=[False, True, True])
+    return pa.table({
+        "node_a": pa.array([f"p{int(x)}" for x in keyed["rawa"]]),
+        "node_b": pa.array([f"p{int(x)}" for x in keyed["rawb"]]),
+        "score": pa.array(keyed["score"].to_numpy()),
+    })
+
+
+SQL_G2_ADAMIC_ADAR = (
+    "WITH " + _G2_BASE.strip() + f""",
+wt AS (SELECT v, 1.0 / ln(outdeg) AS w FROM deg
+       WHERE outdeg >= 2 AND outdeg <= {AA_HUB_CAP}),
+aap AS (
+  SELECT e1.dst AS a, e2.dst AS b, ROUND(SUM(w.w), 6) AS score
+  FROM edges e1
+  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN wt w ON w.v = e1.src
+  GROUP BY e1.dst, e2.dst)
+SELECT 'p' || CAST(p.a AS VARCHAR) AS node_a,
+       'p' || CAST(p.b AS VARCHAR) AS node_b, p.score
+FROM aap p LEFT JOIN edges e ON e.src = p.a AND e.dst = p.b
+WHERE e.src IS NULL
+ORDER BY p.score DESC, p.a, p.b LIMIT {AA_TOP_K}
+""")
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1256,6 +1413,7 @@ QUERIES = {
     "g1_hits": q_g1_hits,
     "g2_harmonic": q_g2_harmonic,
     "g3_scc": q_g3_scc,
+    "g2_adamic_adar": q_g2_adamic_adar,
 }
 
 ORACLES = {
@@ -1283,4 +1441,5 @@ ORACLES = {
     "g1_hits": SQL_G1_HITS,
     "g2_harmonic": SQL_G2_HARMONIC,
     "g3_scc": SQL_G3_SCC,
+    "g2_adamic_adar": SQL_G2_ADAMIC_ADAR,
 }
