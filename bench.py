@@ -186,6 +186,15 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     extra["kcore_rounds"] = len(keng.metrics)
     extra["kcore_size"] = int(kt["alive"].sum())
 
+    # round-5 kernel: SCC (coloring-algorithm phase peel) on the
+    # directed bench graph
+    from planar_ray.kernels.scc import scc as scc_run
+
+    t0 = time.monotonic()
+    _labels, scc_info = scc_run(g)
+    queries["scc"] = time.monotonic() - t0
+    extra["scc"] = scc_info
+
     # training-data ops over the sf tables
     from planar_ray.pipelines.ann import (
         q_ann_ivf_topk,
@@ -202,7 +211,9 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         q_doc_scrub,
         q_doc_simhash,
     )
+    from planar_ray.pipelines.docs import q_doc_tfidf
     from planar_ray.pipelines.events import q_events_sessionize, q_events_window
+    from planar_ray.pipelines.multimodal import q_mm_audio, q_mm_decode
 
     for qname, fn in [
         ("doc_exact_dedup", q_doc_exact_dedup),
@@ -218,6 +229,9 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         ("ann_ivf_topk", q_ann_ivf_topk),
         ("events_window", q_events_window),
         ("events_sessionize", q_events_sessionize),
+        ("doc_tfidf", q_doc_tfidf),
+        ("mm_decode", q_mm_decode),
+        ("mm_audio", q_mm_audio),
     ]:
         t0 = time.monotonic(); fn(sf_dir)
         queries[qname] = time.monotonic() - t0
