@@ -1231,6 +1231,78 @@ FROM mutual GROUP BY v
 """
 
 
+BETW_PIVOTS = 6
+BETW_CAP = 12  # SQL unroll depth; the Ray query RAISES if any pivot's
+               # BFS runs deeper (oracle-contract pattern: loud, never
+               # silently truncated)
+
+
+def q_g2_betweenness(sf_dir: str) -> pa.Table:
+    """Sampled Brandes betweenness from the BETW_PIVOTS smallest ids
+    (kernels/betweenness.py: forward σ-BFS + layered backward
+    dependency accumulation, acc threaded across pivots as a state
+    column)."""
+    from ..kernels.betweenness import betweenness
+
+    g, iddict = _build(sf_dir, "g2")
+    bc_ds, _info = betweenness(g, BETW_PIVOTS, max_depth=BETW_CAP)
+    keyed = _attach_key(bc_ds, iddict, "v", "rawkey").to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(keyed["rawkey"].to_numpy())),
+        "bc": pa.array(np.round(keyed["bc"].to_numpy(), 6)),
+    })
+
+
+def _betw_sql(cap: int = BETW_CAP, pivots: int = BETW_PIVOTS) -> str:
+    """Unrolled Brandes twin: per-layer σ CTEs forward, per-layer δ
+    CTEs backward (δ factorised σ_v * Σ (1+δ_w)/σ_w exactly like the
+    engine's wire reduction). Layers beyond the true depth are empty
+    CTEs; the Ray side raises if the true depth exceeds the unroll."""
+    sig = ["sig0 AS MATERIALIZED (SELECT v AS s, v, 1.0 AS sigma FROM piv)"]
+    for d in range(1, cap + 1):
+        sig.append(
+            f"sig{d} AS MATERIALIZED (\n"
+            f"  SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma\n"
+            f"  FROM sig{d - 1} p JOIN edges e ON e.src = p.v\n"
+            f"  JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {d}\n"
+            f"  GROUP BY p.s, e.dst)")
+    sigall = ("sigall AS MATERIALIZED ("
+              + " UNION ALL ".join(f"SELECT * FROM sig{d}"
+                                   for d in range(cap + 1)) + ")")
+    dels = [f"del{cap} AS (SELECT s, v, 0.0 AS delta FROM dist "
+            f"WHERE d = {cap})"]
+    for d in range(cap - 1, 0, -1):
+        dels.append(
+            f"del{d} AS MATERIALIZED (\n"
+            f"  SELECT dv.s, dv.v, MAX(sv.sigma) * "
+            f"SUM((1 + COALESCE(dl.delta, 0)) / sw.sigma) AS delta\n"
+            f"  FROM dist dv\n"
+            f"  JOIN edges e ON e.src = dv.v\n"
+            f"  JOIN dist dw ON dw.s = dv.s AND dw.v = e.dst "
+            f"AND dw.d = {d + 1}\n"
+            f"  JOIN sigall sw ON sw.s = dv.s AND sw.v = e.dst\n"
+            f"  JOIN sigall sv ON sv.s = dv.s AND sv.v = dv.v\n"
+            f"  LEFT JOIN del{d + 1} dl ON dl.s = dv.s AND dl.v = e.dst\n"
+            f"  WHERE dv.d = {d}\n"
+            f"  GROUP BY dv.s, dv.v)")
+    alldel = ("alldel AS (" + " UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(1, cap + 1)) + ")")
+    return (
+        "WITH RECURSIVE " + _G2_BASE.strip() + ",\n"
+        + f"piv AS MATERIALIZED (SELECT v FROM nodes ORDER BY v "
+          f"LIMIT {pivots}),\n"
+        + "walk(s, v, d) AS (\n  SELECT v, v, 0 FROM piv\n  UNION\n"
+          f"  SELECT w.s, e.dst, w.d + 1 FROM walk w "
+          f"JOIN edges e ON e.src = w.v WHERE w.d < {cap}),\n"
+        + "dist AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM walk "
+          "GROUP BY s, v),\n"
+        + ",\n".join(sig) + ",\n" + sigall + ",\n"
+        + ",\n".join(dels) + ",\n" + alldel + "\n"
+        + "SELECT 'p' || CAST(n.v AS VARCHAR) AS node_key,\n"
+          "       ROUND(COALESCE(SUM(a.delta), 0), 6) AS bc\n"
+          "FROM nodes n LEFT JOIN alldel a ON a.v = n.v GROUP BY n.v")
+
+
 AA_TOP_K = 50
 AA_BUCKETS = 32
 # middle vertices above this degree are EXCLUDED (both sides of the
@@ -1414,6 +1486,7 @@ QUERIES = {
     "g2_harmonic": q_g2_harmonic,
     "g3_scc": q_g3_scc,
     "g2_adamic_adar": q_g2_adamic_adar,
+    "g2_betweenness": q_g2_betweenness,
 }
 
 ORACLES = {
@@ -1442,4 +1515,5 @@ ORACLES = {
     "g2_harmonic": SQL_G2_HARMONIC,
     "g3_scc": SQL_G3_SCC,
     "g2_adamic_adar": SQL_G2_ADAMIC_ADAR,
+    "g2_betweenness": _betw_sql(),
 }

@@ -69,11 +69,22 @@ def test_mm_feature_schema_and_determinism():
         decode_image(b"\xff\xd8\xff")
 
 
-def test_real_decode_stage_raises_cleanly():
+def test_real_decode_stage():
+    """Round 5: decode_image is REAL (codecs.py). The real-decode
+    feature path decodes PPM/BMP payloads and histograms the pixels;
+    compressed formats still raise naming the missing codec."""
+    import numpy as np
     import pyarrow as pa
 
+    from planar_ray.codecs import encode_ppm
     from planar_ray.pipelines.multimodal import FeatureExtractor
 
+    img = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
     fx = FeatureExtractor(use_real_decode=True)
-    with pytest.raises(NotImplementedError):
-        fx(pa.table({"doc_id": [1], "payload": [b"zz"]}))
+    out = fx(pa.table({"doc_id": [1], "payload": [encode_ppm(img)]}))
+    assert out.num_rows == 1
+    assert len(out["feature"][0].as_py()) == 8
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        fx(pa.table({"doc_id": [2], "payload": [b"\xff\xd8 fake"]}))
+    with pytest.raises(ValueError, match="unrecognised"):
+        fx(pa.table({"doc_id": [3], "payload": [b"zz"]}))

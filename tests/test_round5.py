@@ -409,3 +409,33 @@ def test_scc_structures(tmp_root):
     assert got[0] == got[1] == got[2] == 2
     assert got[3] == got[4] == 4
     assert got[5] == 5 and got[6] == 6 and got[7] == 7 and got[8] == 8
+
+
+# ---------------------------------------------------------------------------
+# sampled Brandes betweenness (round-5 kernel addition)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,V,E,directed", [(4, 80, 240, True),
+                                               (5, 150, 500, False),
+                                               (6, 120, 200, True)])
+def test_betweenness_matches_brandes(tmp_root, seed, V, E, directed):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.betweenness import (betweenness,
+                                                betweenness_oracle)
+
+    rng = np.random.default_rng(seed)
+    e = np.stack([rng.integers(0, V, E), rng.integers(0, V, E)], 1)
+    e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+    if not directed:
+        e = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/betw_{seed}", V, num_parts=3, direction="fwd")
+    PIV = 5
+    bc_ds, info = betweenness(g, PIV)
+    got = bc_ds.to_pandas().sort_values("v")["bc"].to_numpy()
+    want = betweenness_oracle(e, V, list(range(PIV)))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert len(info["depths"]) == PIV
