@@ -284,11 +284,155 @@ FROM events e ASOF JOIN o
 """
 
 
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (round 5): two bounded passes, NO global
+# sort — the scale-right selection pattern
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.5, 0.9, 0.99)
+Q_BINS = 4096
+
+
+def q_events_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event_type quantiles of ``value`` (the sorted element
+    at index floor(q*(n-1)) — numpy 'lower' interpolation) computed in
+    TWO streaming passes instead of a global sort:
+
+      pass 1: per-batch (type, bin) histogram partials over the value
+              range (driver merges types x Q_BINS counts — bounded);
+      pass 2: for each (type, quantile) locate the bin holding the
+              target rank, then collect that bin's DISTINCT values
+              with counts (bounded: one bin's distinct values) and
+              pick the exact element by residual rank.
+
+    At 100 TB this is two map_batches scans + two tiny driver merges;
+    a pathological bin (huge distinct count) would add one recursive
+    refinement, not a sort."""
+    ev = _read_events(sf_dir, ["event_type", "value"]).materialize()
+
+    # min/max + counts per type: one pass of tiny partials
+    def mm(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type")["value"].agg(["min", "max", "count"])
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = ev.map_batches(mm, batch_format="pyarrow").to_pandas()
+    stats = stats.groupby("event_type").agg(
+        {"min": "min", "max": "max", "count": "sum"})
+    types = sorted(stats.index)
+    lo = {ty: float(stats.loc[ty, "min"]) for ty in types}
+    span = {ty: max(float(stats.loc[ty, "max"]) - lo[ty], 1e-300)
+            for ty in types}
+    n_of = {ty: int(stats.loc[ty, "count"]) for ty in types}
+
+    def binof(ty, vals):
+        b = ((vals - lo[ty]) / span[ty] * Q_BINS).astype(np.int64)
+        return np.clip(b, 0, Q_BINS - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        tys = t["event_type"].to_pandas().to_numpy()
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        outs = {"event_type": [], "bin": [], "n": []}
+        for ty in np.unique(tys):
+            m = tys == ty
+            c = np.bincount(binof(ty, vals[m]), minlength=Q_BINS)
+            nz = np.flatnonzero(c)
+            outs["event_type"].extend([ty] * len(nz))
+            outs["bin"].extend(nz.tolist())
+            outs["n"].extend(c[nz].tolist())
+        return pa.table({"event_type": pa.array(outs["event_type"]),
+                         "bin": pa.array(outs["bin"], pa.int64()),
+                         "n": pa.array(outs["n"], pa.int64())})
+
+    hp = ev.map_batches(hist, batch_format="pyarrow").to_pandas()
+    hp = hp.groupby(["event_type", "bin"])["n"].sum()
+
+    # locate the bin of each (type, q) target rank
+    need: dict[tuple, list] = {}
+    for ty in types:
+        counts = np.zeros(Q_BINS, np.int64)
+        sub = hp.loc[ty]
+        counts[sub.index.to_numpy()] = sub.to_numpy()
+        cum = np.cumsum(counts)
+        for q in QUANTILES:
+            r = int(np.floor(q * (n_of[ty] - 1)))  # target sorted index
+            b = int(np.searchsorted(cum, r + 1))
+            below = int(cum[b - 1]) if b > 0 else 0
+            need.setdefault((ty, b), []).append((q, r - below))
+
+    keys = set(need)
+
+    def collect(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tys = t["event_type"].to_pandas().to_numpy()
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "value": [], "n": []}
+        for ty in np.unique(tys):
+            m = tys == ty
+            v = vals[m]
+            b = binof(ty, v)
+            want = np.isin(b, [bb for (t2, bb) in keys if t2 == ty])
+            if not want.any():
+                continue
+            vv = v[want]
+            uq, cnt = np.unique(vv, return_counts=True)
+            rows["event_type"].extend([ty] * len(uq))
+            rows["value"].extend(uq.tolist())
+            rows["n"].extend(cnt.tolist())
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    cand = ev.map_batches(collect, batch_format="pyarrow").to_pandas()
+    if len(cand):
+        cand = (cand.groupby(["event_type", "value"])["n"].sum()
+                .reset_index())
+    out = {"event_type": [], "q": [], "value": []}
+    for (ty, b), wants in sorted(need.items()):
+        sub = cand[cand["event_type"] == ty]
+        v = sub["value"].to_numpy()
+        c = sub["n"].to_numpy(dtype=np.int64)
+        inbin = binof(ty, v) == b
+        v, c = v[inbin], c[inbin]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        for q, resid in wants:
+            i = int(np.searchsorted(cum, resid + 1))
+            out["event_type"].append(ty)
+            out["q"].append(q)
+            out["value"].append(float(v[i]))
+    tab = pa.table({"event_type": pa.array(out["event_type"]),
+                    "q": pa.array(out["q"], pa.float64()),
+                    "value": pa.array(out["value"], pa.float64())})
+    return tab
+
+
+SQL_EVENTS_QUANTILES = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT r.event_type, qs.q, r.value
+FROM ranked r
+JOIN (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
+  ON r.rk = CAST(floor(qs.q * (r.n - 1)) AS BIGINT)
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_hopping": q_events_hopping,
     "events_asof_orders": q_events_asof_orders,
+    "events_quantiles": q_events_quantiles,
 }
 
 ORACLES = {
@@ -296,4 +440,5 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
 }
