@@ -31,10 +31,11 @@ shuffle groups, pair expansion vectorised per group); the exact-Jaccard
 VERIFY step is distributed too — candidate pairs hash-bucket-join the
 per-doc shingle-set table twice (doc_a, doc_b) and Jaccard is computed
 inside the joined batches, so the documents table is never read to the
-driver. Only the final union-find over VERIFIED pairs runs driver-side,
-because verified pairs are provably tiny relative to the corpus; at
-10^12 docs the same pairs feed the WCC kernel instead (documented
-switch). All shingle/band/token hashing goes through the vectorised
+driver. Group assignment over VERIFIED pairs is a dual plan
+(_pair_components_assign): driver union-find + broadcast map while
+pairs are tiny, the distributed WCC kernel over the pair graph beyond
+WCC_PAIRS_THRESHOLD — value-identical (both reps are the component
+min; parity-pinned in tests). All shingle/band/token hashing goes through the vectorised
 siphash kernel (util.h64_bytes_vec) — no per-row hashlib loops.
 """
 
@@ -556,30 +557,106 @@ def q_doc_minhash_dedup(sf_dir: str, run_dir: str | None = None,
                 "doc_b": pa.array(verified["doc_b"].to_numpy().astype(np.int64)),
                 "jaccard": pa.array(verified["jaccard"].to_numpy().astype(np.float64)),
             })}, {"stage": "verified"})
-    parent: dict[int, int] = {}
+    return _pair_components_assign(sf_dir, verified)
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
 
-    for a, b in zip(verified["doc_a"], verified["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rep = {x: find(x) for x in parent}
-    rep_ref = ray.put(rep)
+# above this many verified pairs the group assignment switches from the
+# driver union-find + broadcast map to the distributed WCC kernel over
+# the pair graph (min labels == min union-find reps, so the two paths
+# are value-identical; parity-pinned in tests via wcc_threshold=0)
+WCC_PAIRS_THRESHOLD = 50_000
 
-    def assign(t: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        reps = np.array([m.get(int(d), int(d)) for d in did], dtype=np.int64)
-        return pa.table({"doc_id": pa.array(did), "group_rep": pa.array(reps)})
 
-    out = _read_docs(sf_dir, columns=("doc_id",)).map_batches(
-        assign, batch_format="pyarrow"
-    ).to_pandas()
+def _pair_components_assign(sf_dir: str, verified,
+                            wcc_threshold: int = WCC_PAIRS_THRESHOLD
+                            ) -> pa.Table:
+    """(doc_id, group_rep) for EVERY document: connected components of
+    the verified-pair graph, identity elsewhere.
+
+    Small pair sets: driver union-find + broadcast map (pairs are tiny
+    by LSH construction). Beyond ``wcc_threshold``: the pairs become a
+    symmetric graph store and the WCC kernel labels them — the
+    documented 10^12-doc switch, now real. Either path's rep is the
+    component's MIN doc_id, and the final assignment folds identity
+    via one grouped min (group_rep = min(doc_id, component label)) —
+    no outer join, no driver materialisation of the doc table."""
+    import ray
+
+    docs = _read_docs(sf_dir, columns=("doc_id",))
+    if len(verified) <= wcc_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(verified["doc_a"], verified["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rep = {x: find(x) for x in parent}
+        rep_ref = ray.put(rep)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(rep_ref)
+            did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            reps = np.array([m.get(int(d), int(d)) for d in did],
+                            dtype=np.int64)
+            return pa.table({"doc_id": pa.array(did),
+                             "group_rep": pa.array(reps)})
+
+        out = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- distributed path: WCC kernel over the pair graph ----------------
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..graph import partition_edges
+    from ..kernels import wcc
+
+    a = verified["doc_a"].to_numpy().astype(np.int64)
+    b = verified["doc_b"].to_numpy().astype(np.int64)
+    pairs = rd.from_arrow(pa.table({"src": np.concatenate([a, b]),
+                                    "dst": np.concatenate([b, a])}))
+    V = int(max(a.max(), b.max())) + 1
+    root = os.path.join("/tmp/planar_ray_cache",
+                        f"dedup_wcc_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    g = partition_edges(pairs, root, V, num_parts=8, direction="fwd",
+                        dedup_in_parts=True)
+    state, eng = wcc(g)
+    # is_doc marker: WCC labels zero-degree id-space holes too — the
+    # grouped fold keeps only groups that contain a real document row
+    # (fully distributed; no driver doc-id materialisation)
+    labels = state.select_columns(["v", "val"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["v"],
+            "group_rep": t["val"].cast(pa.int64()),
+            "is_doc": pa.array(np.zeros(len(t), np.int8)),
+        }),
+        batch_format="pyarrow")
+    eng.close()
+    ident = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "group_rep": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "is_doc": pa.array(np.ones(len(t), np.int8)),
+        }),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Max, Min
+
+    out = (ident.union(labels).groupby("doc_id")
+           .aggregate(Min(on="group_rep", alias_name="group_rep"),
+                      Max(on="is_doc", alias_name="is_doc"))
+           .to_pandas())
+    out = out[out["is_doc"] == 1].drop(columns=["is_doc"])
+    out = out.astype({"doc_id": "int64", "group_rep": "int64"})
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -439,3 +439,23 @@ def test_betweenness_matches_brandes(tmp_root, seed, V, E, directed):
     want = betweenness_oracle(e, V, list(range(PIV)))
     np.testing.assert_allclose(got, want, atol=1e-9)
     assert len(info["depths"]) == PIV
+
+
+def test_minhash_dedup_wcc_path_matches_union_find():
+    """The 10^12-doc switch (verified pairs -> WCC kernel) must label
+    groups identically to the driver union-find (both reps are the
+    component min)."""
+    import pandas as pd
+
+    from planar_ray.pipelines.docs import (_pair_components_assign,
+                                           lsh_candidate_pairs,
+                                           pair_jaccards, JACCARD_TAU)
+
+    sf = "/root/testdata/sf0.001"
+    cand = lsh_candidate_pairs(sf)
+    verified = pair_jaccards(sf, cand).filter(
+        expr=f"jaccard >= {JACCARD_TAU}").to_pandas()
+    uf = _pair_components_assign(sf, verified).to_pandas()
+    wc = _pair_components_assign(sf, verified, wcc_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(uf, wc)
+    assert (wc["group_rep"] <= wc["doc_id"]).all()
