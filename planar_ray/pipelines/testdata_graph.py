@@ -1303,6 +1303,72 @@ def _betw_sql(cap: int = BETW_CAP, pivots: int = BETW_PIVOTS) -> str:
           "FROM nodes n LEFT JOIN alldel a ON a.v = n.v GROUP BY n.v")
 
 
+def _argmax_finite_dist(state) -> tuple[int, int]:
+    """(max finite dist, min vertex at that dist) via per-batch partials
+    — the driver sees one row per block, never the state table."""
+    def part(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        d = t["val"].to_numpy(zero_copy_only=False)
+        fin = d < INF
+        if not fin.any():
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        dm = int(d[fin].max())
+        return pa.table({"d": pa.array([dm], pa.int64()),
+                         "v": pa.array([int(v[fin & (d == dm)].min())],
+                                       pa.int64())})
+
+    p = state.select_columns(["v", "val"]).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    dm = int(p["d"].max())
+    return dm, int(p[p["d"] == dm]["v"].min())
+
+
+def q_g2_diameter(sf_dir: str) -> pa.Table:
+    """Double-sweep diameter lower bound: BFS from the min-id vertex,
+    then BFS from its farthest vertex (ties -> min id); the second
+    eccentricity is the classic lower bound. Two frontier-kernel runs +
+    two bounded partial-argmax passes — nothing dense on the driver."""
+    g, iddict = _build(sf_dir, "g2")
+    st1, _e1 = sssp(g, source=0, max_supersteps=SSSP_CAP)
+    _d1, far = _argmax_finite_dist(st1)
+    st2, _e2 = sssp(g, source=far, max_supersteps=SSSP_CAP)
+    ecc, _v2 = _argmax_finite_dist(st2)
+    # map the two endpoint ids back to raw keys (2 bounded lookups)
+    import ray.data as rd
+
+    ends = _attach_key(
+        rd.from_arrow(pa.table({"v": pa.array([0, far], pa.int64())})),
+        iddict, "v", "rawkey").to_pandas().sort_values("v")
+    src_k, far_k = [f"p{int(k)}" for k in ends["rawkey"]]
+    return pa.table({
+        "source_key": pa.array([src_k]),
+        "far_key": pa.array([far_k]),
+        "diameter_lb": pa.array([ecc], pa.int64()),
+    })
+
+
+SQL_G2_DIAMETER = (
+    "WITH RECURSIVE " + _G2_BASE.strip() + ",\n"
+    + f"""w1(v, d) AS (
+  SELECT (SELECT MIN(v) FROM nodes), 0
+  UNION
+  SELECT e.dst, w1.d + 1 FROM w1 JOIN edges e ON e.src = w1.v
+  WHERE w1.d < {SSSP_CAP}),
+d1 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM w1 GROUP BY v),
+far AS MATERIALIZED (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
+w2(v, d) AS (
+  SELECT (SELECT v FROM far), 0
+  UNION
+  SELECT e.dst, w2.d + 1 FROM w2 JOIN edges e ON e.src = w2.v
+  WHERE w2.d < {SSSP_CAP}),
+d2 AS (SELECT v, MIN(d) AS d FROM w2 GROUP BY v)
+SELECT 'p' || CAST((SELECT MIN(v) FROM nodes) AS VARCHAR) AS source_key,
+       'p' || CAST((SELECT v FROM far) AS VARCHAR) AS far_key,
+       CAST((SELECT MAX(d) FROM d2) AS BIGINT) AS diameter_lb
+""")
+
+
 AA_TOP_K = 50
 AA_BUCKETS = 32
 # middle vertices above this degree are EXCLUDED (both sides of the
@@ -1487,6 +1553,7 @@ QUERIES = {
     "g3_scc": q_g3_scc,
     "g2_adamic_adar": q_g2_adamic_adar,
     "g2_betweenness": q_g2_betweenness,
+    "g2_diameter": q_g2_diameter,
 }
 
 ORACLES = {
@@ -1516,4 +1583,5 @@ ORACLES = {
     "g3_scc": SQL_G3_SCC,
     "g2_adamic_adar": SQL_G2_ADAMIC_ADAR,
     "g2_betweenness": _betw_sql(),
+    "g2_diameter": SQL_G2_DIAMETER,
 }
