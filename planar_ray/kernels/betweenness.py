@@ -118,7 +118,10 @@ class BetwBackwardKernel(Kernel):
     name = "betw_bwd"
     # dependency flows successor -> predecessor, i.e. against the edge
     # orientation: the backward pass walks the REVERSE store (on an
-    # undirected/symmetric graph rev == fwd, just materialised once)
+    # undirected/symmetric graph rev == fwd, just materialised once).
+    # The pivot's depth D rides as a constant STATE column (the kernel
+    # object is pinned once per engine and engines are REUSED across
+    # pivots, so per-pivot scalars cannot live on the instance).
     direction = "rev"
     columns = {
         "dist": pa.int64(),
@@ -126,6 +129,7 @@ class BetwBackwardKernel(Kernel):
         "val": pa.float64(),    # wire: c partials out, Σc in
         "delta": pa.float64(),
         "acc": pa.float64(),
+        "depth": pa.int64(),
         "active": pa.int8(),
         "changed": pa.int64(),
         "in_msgs": pa.int64(),
@@ -135,9 +139,6 @@ class BetwBackwardKernel(Kernel):
     @property
     def message_columns(self):
         return ["val"]
-
-    def __init__(self, depth: int):
-        self.depth = int(depth)  # D = max finite distance of this pivot
 
     def init_cols(self, part, begin, end, csr: CSRPart):
         raise NotImplementedError("BetwBackwardKernel is seeded via "
@@ -163,18 +164,19 @@ class BetwBackwardKernel(Kernel):
         v = state["v"]
         vl = v - begin
         s = ctx["superstep"]
-        layer = self.depth - s - 1  # the accepting layer this superstep
+        depth = int(state["depth"][0]) if len(v) else 0
+        layer = depth - s - 1  # the accepting layer this superstep
         at_layer = state["dist"] == layer
         delta = np.where(at_layer, state["sigma"] * csum[vl],
                          state["delta"])
         return {"v": v, "dist": state["dist"], "sigma": state["sigma"],
                 "val": np.zeros(len(v)), "delta": delta,
-                "acc": state["acc"],
+                "acc": state["acc"], "depth": state["depth"],
                 "active": at_layer.astype(np.int8),
                 "changed": at_layer.astype(np.int64), "in_msgs": cnt[vl]}
 
     def converged(self, stats, superstep):
-        return superstep >= self.depth - 1
+        return False  # the caller caps max_supersteps at D exactly
 
 
 def _seed_backward(depth: int):
@@ -188,6 +190,7 @@ def _seed_backward(depth: int):
             "val": pa.array(np.zeros(n)),
             "delta": pa.array(np.zeros(n)),
             "acc": t["acc"],
+            "depth": pa.array(np.full(n, depth, np.int64)),
             "active": pa.array(top.astype(np.int8)),
             "changed": pa.array(np.zeros(n, np.int64)),
             "in_msgs": pa.array(np.zeros(n, np.int64)),
@@ -238,15 +241,17 @@ def betweenness(graph: Graph, num_pivots: int, max_depth: int = 10_000,
     state: Dataset | None = None
     info = {"depths": [], "supersteps": 0}
     prev_src: int | None = None
+    # ONE engine per direction for ALL pivots: CSRs/plans pin once;
+    # per-pivot scalars (source, depth) ride the seed state instead of
+    # the pinned kernel objects
+    engF = Engine(graph, BetwForwardKernel(pivots[0]), **engine_kw)
+    engB = Engine(graph, BetwBackwardKernel(), **engine_kw)
     for s in pivots:
-        engF = Engine(graph, BetwForwardKernel(s), **engine_kw)
         seed = (None if state is None
                 else state.map_batches(_seed_forward(s, prev_src),
                                        batch_format="pyarrow"))
         state = engF.run(max_supersteps=max_depth + 1, initial_state=seed)
-        info["supersteps"] += len(engF.metrics)
         D = int(engF.globals.get("maxdist") or 0)
-        engF.close()
         if D > max_depth:
             raise RuntimeError(
                 f"betweenness: pivot {s} reached depth {D} > max_depth "
@@ -255,11 +260,11 @@ def betweenness(graph: Graph, num_pivots: int, max_depth: int = 10_000,
         prev_src = s
         if D <= 0:
             continue  # isolated pivot: nothing to accumulate
-        engB = Engine(graph, BetwBackwardKernel(D), **engine_kw)
         seedB = state.map_batches(_seed_backward(D), batch_format="pyarrow")
         state = engB.run(max_supersteps=D, initial_state=seedB)
-        info["supersteps"] += len(engB.metrics)
-        engB.close()
+    info["supersteps"] = len(engF.metrics) + len(engB.metrics)
+    engF.close()
+    engB.close()
 
     def finish(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy(zero_copy_only=False)

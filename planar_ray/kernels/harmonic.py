@@ -79,13 +79,16 @@ def harmonic(graph: Graph, num_pivots: int, max_supersteps: int = 10_000,
     Returns a Dataset (v, harmonic) — no dense driver arrays."""
     pivots = list(range(min(num_pivots, graph.num_vertices)))
     state = None
+    # ONE engine for all pivots: the pinned kernel's source only matters
+    # for pivot 0's init_cols; later pivots arrive fully seeded
+    eng = Engine(graph, HarmonicSSSPKernel(pivots[0] if pivots else 0),
+                 **engine_kw)
     for s in pivots:
-        eng = Engine(graph, HarmonicSSSPKernel(s), **engine_kw)
         seed = None
         if state is not None:
             seed = state.map_batches(_reseed(s), batch_format="pyarrow")
         state = eng.run(max_supersteps=max_supersteps, initial_state=seed)
-        eng.close()
+    eng.close()
 
     def finish(t: pa.Table) -> pa.Table:
         val = t["val"].to_numpy(zero_copy_only=False)

@@ -196,18 +196,16 @@ def scc(graph: Graph, max_phases: int = 100, max_supersteps: int = 10_000,
     derive_direction(graph, "rev")
     state: Dataset | None = None
     info = {"phases": 0, "supersteps": 0}
+    # ONE engine per direction for ALL phases (CSRs pin once; the
+    # kernels are phase-stateless and run() re-adopts each seed)
+    engA = Engine(graph, FwdColorKernel(), **engine_kw)
+    engB = Engine(graph, BwdGatherKernel(), **engine_kw)
     for _phase in range(max_phases):
-        engA = Engine(graph, FwdColorKernel(), **engine_kw)
         seedA = (None if state is None
                  else state.map_batches(_seed_color, batch_format="pyarrow"))
         state = engA.run(max_supersteps=max_supersteps, initial_state=seedA)
-        info["supersteps"] += len(engA.metrics)
-        engA.close()
-        engB = Engine(graph, BwdGatherKernel(), **engine_kw)
         seedB = state.map_batches(_seed_gather, batch_format="pyarrow")
         state = engB.run(max_supersteps=max_supersteps, initial_state=seedB)
-        info["supersteps"] += len(engB.metrics)
-        engB.close()
         info["phases"] += 1
         remaining = state.map_batches(
             lambda t: pa.table({"n": pa.array([int(
@@ -218,7 +216,12 @@ def scc(graph: Graph, max_phases: int = 100, max_supersteps: int = 10_000,
         if not remaining:
             break
     else:
+        engA.close()
+        engB.close()
         raise RuntimeError(f"scc: not converged in {max_phases} phases")
+    info["supersteps"] = len(engA.metrics) + len(engB.metrics)
+    engA.close()
+    engB.close()
     return state.select_columns(["v", "scc"]), info
 
 

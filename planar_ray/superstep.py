@@ -1523,14 +1523,21 @@ class Engine:
     def _run_direct(self, max_supersteps: int, resume: bool,
                     initial_state: Dataset | None) -> Dataset:
         start = 0
+        resumed = False
         if resume and self.run_dir:
             found = self.latest_checkpoint()
             if found is not None:
                 state, start = found
                 self._state_refs = self._refs_by_part(state)
                 self._msg_refs = None
-        if self._state_refs is None:
+                resumed = True
+        if initial_state is not None and not resumed:
+            # always adopt a fresh seed (engine REUSE across phases:
+            # scc/harmonic/betweenness re-run one engine per phase so
+            # the pinned CSRs/plans load once, not once per phase)
             self.init_state_direct(initial_state)
+        elif self._state_refs is None:
+            self.init_state_direct(None)
         for s in range(start, max_supersteps):
             check = (
                 getattr(self.kernel, "needs_global_stats", False)
