@@ -115,7 +115,8 @@ def _ingest_relabel_bfs(edges, out_dir: str, parts: int, out: dict):
 
 KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
            "lpa", "sssp", "coloring", "gnn", "randomwalk", "triangles", "mst",
-           "kcore", "ppr", "hits")
+           "kcore", "ppr", "hits", "scc", "betweenness", "harmonic",
+           "diameter")
 
 
 def cmd_run(args) -> None:
@@ -202,6 +203,48 @@ def cmd_run(args) -> None:
             g, lift_root,
             iters=args.iters if args.iters is not None else 5,
             resume=args.resume, **common)
+    elif args.kernel == "scc":
+        from .kernels.scc import scc as scc_run
+
+        labels, info = scc_run(g)
+        n_comp = labels.select_columns(["scc"]).groupby("scc").count().count()
+        print(json.dumps({"kernel": "scc", "components": int(n_comp),
+                          **info}))
+        return
+    elif args.kernel == "betweenness":
+        from .kernels.betweenness import betweenness
+
+        # --iters = pivot count (default 6)
+        piv = args.iters if args.iters is not None else 6
+        bc, info = betweenness(g, piv)
+        out["pivots"] = piv
+        out["depths"] = info["depths"]
+        out["supersteps"] = info["supersteps"]
+        out["rows"] = bc.count()
+        print(json.dumps(out))
+        return
+    elif args.kernel == "harmonic":
+        from .kernels.harmonic import harmonic
+
+        piv = args.iters if args.iters is not None else 8
+        h = harmonic(g, piv)
+        print(json.dumps({"kernel": "harmonic", "pivots": piv,
+                          "rows": h.count()}))
+        return
+    elif args.kernel == "diameter":
+        from .kernels.sssp import INF as _INF
+
+        state1, _e = K.sssp(g, source=args.source or 0)
+        t = state1.select_columns(["v", "val"]).to_pandas()
+        fin = t[t["val"] < int(_INF)]
+        far = int(fin.sort_values(["val", "v"],
+                                  ascending=[False, True]).iloc[0]["v"])
+        state2, _e2 = K.sssp(g, source=far)
+        t2 = state2.select_columns(["val"]).to_pandas()
+        ecc = int(t2[t2["val"] < int(_INF)]["val"].max())
+        print(json.dumps({"kernel": "diameter", "far": far,
+                          "diameter_lb": ecc}))
+        return
     else:  # pragma: no cover
         raise SystemExit(f"unknown kernel {args.kernel}")
     out["supersteps"] = len(eng.metrics)
