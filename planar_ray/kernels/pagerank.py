@@ -215,15 +215,62 @@ class ReferencePageRankKernel(Kernel):
 
 def pagerank(graph: Graph, damping=0.85, tol=1e-6, max_supersteps=200,
              fixed_iters=None, run_dir=None, checkpoint_every=0, resume=False,
-             **engine_kw):
+             initial_state=None, **engine_kw):
     """Run textbook PageRank to convergence; returns (state Dataset, engine).
 
     ``fixed_iters`` runs exactly that many supersteps instead of the
     delta test (used when comparing against an unrolled SQL oracle).
+
+    ``initial_state`` warm-starts from a previous run's state — the
+    PIE IncEval path (reference core/apis/pie.h:9-27): after a graph
+    delta, re-running with the old scores as the seed converges in far
+    fewer supersteps to the SAME fixpoint (power iteration is
+    contraction-convergent from any L1-normalised start; pinned by
+    test_pagerank_warm_start_incremental).
     """
+    if initial_state is not None:
+        # keep only the prior SCORES; every graph-derived column (deg,
+        # dangling classification) is rebuilt against THIS graph's CSRs
+        # — adopting a stale deg column from the pre-delta graph leaks
+        # rank mass through changed out-degrees (measured: sum drifted
+        # to 1.06 on a 1% edge delta). Distributed: degrees_dataset is
+        # a per-partition CSR map, the score carry-over one hash join.
+        from ..graph import degrees_dataset
+        from ..joins import hash_bucket_join
+
+        prior = initial_state.select_columns(["v", "val"])
+        seed = hash_bucket_join(degrees_dataset(graph), prior,
+                                left_on="v", right_on="v")
+
+        def mk(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            deg = t["outdeg"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            n = len(v)
+            return pa.table({
+                "part": pa.array(np.zeros(n, np.int64)),  # re-split on adopt
+                "v": pa.array(v.astype(np.int64)),
+                "role": pa.array(np.zeros(n, np.int8)),
+                "val": pa.array(val),
+                "deg": pa.array(deg.astype(np.int64)),
+                "delta": pa.array(np.zeros(n)),
+                "dangling": pa.array(np.where(deg == 0, val, 0.0)),
+                "gdangling": pa.array(np.zeros(n)),
+                "in_msgs": pa.array(np.zeros(n, np.int64)),
+            })
+
+        initial_state = seed.map_batches(mk, batch_format="pyarrow")
+        n_seed = initial_state.materialize().count()
+        if n_seed != graph.num_vertices:
+            raise ValueError(
+                f"pagerank warm start: prior state covers {n_seed} of "
+                f"{graph.num_vertices} vertices — warm start requires "
+                "the same vertex id space (new vertices need a fresh "
+                "or padded prior)")
     eng = Engine(graph, PageRankKernel(damping, tol, fixed_iters),
                  run_dir=run_dir, checkpoint_every=checkpoint_every, **engine_kw)
-    state = eng.run(max_supersteps=fixed_iters or max_supersteps, resume=resume)
+    state = eng.run(max_supersteps=fixed_iters or max_supersteps,
+                    resume=resume, initial_state=initial_state)
     return state, eng
 
 
