@@ -83,6 +83,17 @@ class BetwForwardKernel(Kernel):
             return None
         return {"v": nbrs, "val": np.repeat(cols["val"], counts)}
 
+    def scatter(self, csr: CSRPart, v, cols):
+        # dataset-mode form: pre-combined sums (parity with the raw wire)
+        out = self.scatter_raw(csr, v, cols)
+        if out is None:
+            return None
+        from ..superstep import combine_sum
+
+        t, s = combine_sum(out["v"].astype(np.int64), out["val"],
+                           num_targets=self._num_vertices)
+        return {"v": t, "val": s}
+
     def apply(self, begin, end, state, msgs, ctx):
         n = end - begin
         loc = (msgs["v"] - begin).astype(np.int64)
@@ -150,6 +161,16 @@ class BetwBackwardKernel(Kernel):
             return None
         c = (1.0 + cols["delta"]) / cols["sigma"]
         return {"v": nbrs, "val": np.repeat(c, counts)}
+
+    def scatter(self, csr: CSRPart, v, cols):
+        out = self.scatter_raw(csr, v, cols)
+        if out is None:
+            return None
+        from ..superstep import combine_sum
+
+        t, s = combine_sum(out["v"].astype(np.int64), out["val"],
+                           num_targets=self._num_vertices)
+        return {"v": t, "val": s}
 
     def apply(self, begin, end, state, msgs, ctx):
         n = end - begin

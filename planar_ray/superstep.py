@@ -1221,7 +1221,20 @@ class Engine:
             # init tasks pushed per-partition stats as superstep -1
             self.globals = self._merge_board_stats(-1, state)
         else:
-            state = state.materialize()
+            # re-tag the part column against THIS engine's boundaries
+            # (an adopted state may come from another direction's
+            # partitioning — the dataset path groups by the part COLUMN,
+            # so a stale tag would hand rows to the wrong vertex range;
+            # direct mode's _refs_by_part does the same re-split)
+            boundaries = np.array(self._apply_boundaries, dtype=np.int64)
+
+            def retag(t: pa.Table) -> pa.Table:
+                p = part_of(t["v"].to_numpy(zero_copy_only=False), boundaries)
+                return t.set_column(t.column_names.index("part"), "part",
+                                    pa.array(p.astype(np.int64)))
+
+            state = state.map_batches(retag,
+                                      batch_format="pyarrow").materialize()
             # adopted initial state (precomputing path): one aggregate job
             row = state.aggregate(*self.kernel.stat_aggs())
             self.globals = {kk: (0 if vv is None else vv) for kk, vv in row.items()}

@@ -498,3 +498,44 @@ def test_pagerank_warm_start_incremental(tmp_root):
     np.testing.assert_allclose(tw["val"].to_numpy(), tc["val"].to_numpy(),
                                atol=1e-7)
     assert s_warm < s_cold, (s_warm, s_cold)
+
+
+@pytest.mark.parametrize("mode", ["direct", "dataset"])
+def test_scc_exchange_mode_parity(tmp_root, mode):
+    """SCC results identical on the raw-task direct wire and the pure
+    Dataset groupby-shuffle formulation."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.scc import scc, scc_oracle
+
+    V, E = 120, 360
+    rng = np.random.default_rng(77)
+    e = np.stack([rng.integers(0, V, E), rng.integers(0, V, E)], 1)
+    e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/sccm_{mode}", V, num_parts=2, direction="fwd")
+    labels, _ = scc(g, exchange=mode)
+    got = labels.to_pandas().sort_values("v")["scc"].to_numpy()
+    assert np.array_equal(got, scc_oracle(e, V))
+
+
+def test_betweenness_dataset_mode_parity(tmp_root):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.betweenness import (betweenness,
+                                                betweenness_oracle)
+
+    V, E = 100, 300
+    rng = np.random.default_rng(88)
+    e = np.stack([rng.integers(0, V, E), rng.integers(0, V, E)], 1)
+    e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+    g = partition_edges(
+        rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]})),
+        f"{tmp_root}/betw_ds", V, num_parts=2, direction="fwd")
+    bc, _ = betweenness(g, 4, exchange="dataset")
+    got = bc.to_pandas().sort_values("v")["bc"].to_numpy()
+    np.testing.assert_allclose(
+        got, betweenness_oracle(e, V, [0, 1, 2, 3]), atol=1e-9)
