@@ -139,6 +139,9 @@ def chaos_node(args) -> dict:
     import ray
     from ray.cluster_utils import Cluster
 
+    # exercise the GROUPED wire + home-node pinning during the loss:
+    # G = alive nodes (4 -> 3 mid-run; soft pinning must fall back)
+    os.environ["PLANAR_GROUP_AUTO_P"] = "4"
     store = 400_000_000
     cluster = Cluster(initialize_head=True, head_node_args={
         "num_cpus": 2, "object_store_memory": store})
