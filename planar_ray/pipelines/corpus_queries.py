@@ -243,6 +243,38 @@ def q_corpus_hits(sf_dir: str) -> pa.Table:
     })
 
 
+def q_corpus_scc(sf_dir: str) -> pa.Table:
+    """SCC labels of the directed import graph (coloring-algorithm
+    kernel pair; rows-only — pytest pins parity vs the matrix-closure
+    oracle on the materialised edge list)."""
+    from ..kernels.scc import scc as scc_run
+
+    g, vdict = _build()
+    labels, _info = scc_run(g)
+    df = hash_bucket_join(labels, vdict.select_columns(["key", "v"]),
+                          left_on="v", right_on="v").to_pandas()
+    df = df.sort_values("key").reset_index(drop=True)
+    return pa.table({
+        "node_key": pa.array(df["key"]),
+        "scc": pa.array(df["scc"].to_numpy().astype(np.int64)),
+    })
+
+
+def q_corpus_betweenness(sf_dir: str) -> pa.Table:
+    """Sampled Brandes betweenness from the 6 smallest dense ids."""
+    from ..kernels.betweenness import betweenness
+
+    g, vdict = _build()
+    bc, _info = betweenness(g, 6)
+    df = hash_bucket_join(bc, vdict.select_columns(["key", "v"]),
+                          left_on="v", right_on="v").to_pandas()
+    df = df.sort_values("key").reset_index(drop=True)
+    return pa.table({
+        "node_key": pa.array(df["key"]),
+        "bc": pa.array(np.round(df["bc"].to_numpy(), 6)),
+    })
+
+
 QUERIES = {
     "corpus_edges": q_corpus_edges,
     "corpus_pagerank": q_corpus_pagerank,
@@ -258,4 +290,6 @@ QUERIES = {
     "corpus_kcore": q_corpus_kcore,
     "corpus_ppr": q_corpus_ppr,
     "corpus_hits": q_corpus_hits,
+    "corpus_scc": q_corpus_scc,
+    "corpus_betweenness": q_corpus_betweenness,
 }

@@ -539,3 +539,28 @@ def test_betweenness_dataset_mode_parity(tmp_root):
     got = bc.to_pandas().sort_values("v")["bc"].to_numpy()
     np.testing.assert_allclose(
         got, betweenness_oracle(e, V, [0, 1, 2, 3]), atol=1e-9)
+
+
+def test_corpus_scc_and_betweenness_match_oracles():
+    """The corpus-family rows-only queries pinned against the numpy
+    oracles on the materialised corpus edge list."""
+    from planar_ray.pipelines import corpus_queries as cq
+    from planar_ray.kernels.scc import scc_oracle
+    from planar_ray.kernels.betweenness import betweenness_oracle
+
+    g, vdict = cq._build()
+    e = g.edges_dataset().to_pandas()[["src", "dst"]].to_numpy()
+    V = g.num_vertices
+
+    scc_tab = cq.q_corpus_scc("unused").to_pandas()
+    want = scc_oracle(e, V)
+    # map node_key -> v via the dict to align
+    vd = vdict.to_pandas().set_index("key")["v"]
+    got_v = vd.loc[scc_tab["node_key"]].to_numpy()
+    assert np.array_equal(scc_tab["scc"].to_numpy(), want[got_v])
+
+    bc_tab = cq.q_corpus_betweenness("unused").to_pandas()
+    want_bc = betweenness_oracle(e, V, list(range(6)))
+    got_v = vd.loc[bc_tab["node_key"]].to_numpy()
+    np.testing.assert_allclose(bc_tab["bc"].to_numpy(),
+                               np.round(want_bc[got_v], 6), atol=2e-6)
