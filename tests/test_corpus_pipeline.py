@@ -92,6 +92,10 @@ CORPUS_GOLDENS = {
     "corpus_kcore": (5056, "41f81c6a5c604d18"),
     "corpus_ppr": (5056, "d0782ba6b549354e"),
     "corpus_hits": (5056, "91dad0082079b7b4"),
+    # round 5 (values independently parity-checked against the
+    # matrix-closure / Brandes numpy oracles in test_round5)
+    "corpus_scc": (5056, "adb1246b889cb453"),
+    "corpus_betweenness": (5056, "003af54003ea7081"),
 }
 
 
