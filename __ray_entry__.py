@@ -79,6 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(_cq.QUERIES)
     except ImportError:
         pass
+    try:
+        from planar_ray.pipelines import relational as _rel
+
+        out.update(_rel.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -109,6 +115,12 @@ def oracle_sql() -> dict[str, str]:
         from planar_ray.pipelines import multimodal as _mm
 
         out.update(_mm.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from planar_ray.pipelines import relational as _rel
+
+        out.update(_rel.ORACLES)
     except ImportError:
         pass
     return out
