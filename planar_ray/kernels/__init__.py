@@ -8,6 +8,7 @@ from .triangle import triangle_count
 from .mst import boruvka
 from .wcc import WCCKernel, hop_extrema_seeds, wcc, wcc_precomputed
 from .kcore import KCoreKernel, kcore
+from .mis import MISKernel, mis
 from .ppr import PPRKernel, ppr
 from .hits import HITSKernel, hits, lift_graph
 
@@ -17,6 +18,6 @@ __all__ = [
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
     "ColoringKernel", "coloring", "GNNKernel", "gnn",
     "random_walk", "road_dataset", "boruvka", "wcc_precomputed", "hop_extrema_seeds",
-    "KCoreKernel", "kcore", "PPRKernel", "ppr",
+    "KCoreKernel", "kcore", "MISKernel", "mis", "PPRKernel", "ppr",
     "HITSKernel", "hits", "lift_graph",
 ]

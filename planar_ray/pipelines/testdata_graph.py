@@ -1028,6 +1028,73 @@ def _kcore_sql(k: int = KCORE_K, unroll: int = KCORE_UNROLL) -> str:
 SQL_G2_KCORE = _kcore_sql()
 
 
+MIS_UNROLL = 14  # SQL parallel-peel rounds; the Ray side asserts its BSP
+                 # superstep count <= this (parallel rounds needed is at
+                 # most ceil(supersteps/2)+1; extra SQL rounds are no-ops)
+
+
+def q_g2_mis(sf_dir: str) -> pa.Table:
+    """Maximal independent set (kernels/mis.py) on the symmetric g2
+    graph: deterministic-priority Luby peeling, p(v) = splitmix64 of
+    the order-preserving internal id. Emits every vertex with its MIS
+    membership flag — the unique greedy-by-priority MIS, so the SQL
+    twin's parallel-round unroll lands on the same set."""
+    from ..kernels.mis import mis
+
+    g, iddict = _build(sf_dir, "g2")
+    state, eng = mis(g, max_supersteps=2 * MIS_UNROLL + 2)
+    steps = eng.metrics if isinstance(eng.metrics, int) else len(eng.metrics)
+    if steps > 2 * MIS_UNROLL:
+        raise RuntimeError(
+            f"MIS peel took {steps} supersteps > 2*unroll {2 * MIS_UNROLL}")
+    vals = state.select_columns(["v", "val"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    val = tab["val"].to_numpy().astype(np.int64)
+    if (val == 0).any():
+        raise RuntimeError("MIS peel left undecided vertices")
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "in_mis": pa.array((val == 1).astype(np.int64)),
+    })
+
+
+def _mis_sql(unroll: int = MIS_UNROLL) -> str:
+    mix, fin = _sql_mix("mp", "ids", "CAST(id AS HUGEINT)", ["id"])
+    ctes = list(mix)
+    ctes.append("und0 AS MATERIALIZED (SELECT id FROM ids)")
+    ctes.append("mis0 AS (SELECT id FROM ids WHERE 1=0)")
+    for i in range(1, unroll + 1):
+        p = f"und{i - 1}"
+        ctes.append(
+            f"newmis{i} AS MATERIALIZED ("
+            f" SELECT u.id FROM {p} u JOIN {fin} pu ON pu.id = u.id"
+            f" WHERE NOT EXISTS ("
+            f"  SELECT 1 FROM iedges e"
+            f"  JOIN {p} w ON w.id = e.dst"
+            f"  JOIN {fin} pw ON pw.id = e.dst"
+            f"  WHERE e.src = u.id AND pw.z < pu.z))")
+        ctes.append(
+            f"und{i} AS MATERIALIZED ("
+            f" SELECT d.id FROM {p} d"
+            f" WHERE d.id NOT IN (SELECT id FROM newmis{i})"
+            f"  AND d.id NOT IN (SELECT e.dst FROM iedges e"
+            f"   JOIN newmis{i} m ON m.id = e.src))")
+        ctes.append(
+            f"mis{i} AS (SELECT id FROM mis{i - 1}"
+            f" UNION ALL SELECT id FROM newmis{i})")
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT 'p' || CAST(n.v AS VARCHAR) AS node_key,"
+        f" CAST(CASE WHEN m.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis"
+        f" FROM ids n LEFT JOIN mis{unroll} m ON m.id = n.id"
+    )
+
+
+SQL_G2_MIS = _mis_sql()
+
+
 PPR_ITERS = 10
 PPR_SEED_MOD = 97  # seeds: node ids divisible by 97 (customers + orders)
 
@@ -1378,28 +1445,27 @@ AA_BUCKETS = 32
 AA_HUB_CAP = 256
 
 
-def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
-    """Adamic-Adar link prediction over the undirected g2 graph: for
-    every NON-adjacent pair (a < b) sharing neighbors, score =
-    Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)); top-{AA_TOP_K} pairs.
+def _cn_pair_union(g, weight_of, buckets: int = AA_BUCKETS,
+                   hub_cap: int = AA_HUB_CAP):
+    """Common-neighbor pair stream over a symmetric graph, shared by the
+    link-prediction queries (Adamic-Adar and Jaccard).
 
-    Plan (scale shape): pair generation runs per CSR partition with NO
-    shuffle — vertices are grouped by degree class and each class's
-    neighbor matrix expands through one cached triu index pair (fully
-    vectorised, no per-vertex Python loop). Generated (a,b,w) partials
-    and canonical edge markers hash-bucket on the pair, ONE bounded
-    shuffle; each bucket sums partials, drops marked (adjacent) pairs
-    and keeps a local top-K, so the driver sees ≤ buckets*K rows.
-    Middle vertices above AA_HUB_CAP are excluded on BOTH sides of the
-    oracle (their 1/ln(d) terms are noise and their d^2 expansion is
-    the only unbounded cost), so per-vertex work is <= CAP^2 and total
-    pair volume is bounded by E * CAP."""
+    Pair generation runs per CSR partition with NO shuffle — vertices
+    are grouped by degree class and each class's neighbor matrix expands
+    through one cached triu index pair (fully vectorised, no per-vertex
+    Python loop); each common neighbor of degree d contributes
+    ``weight_of(d)`` to its (a, b) pair. Canonical edge markers
+    (edge=1 rows) ride the same stream so the downstream bucket
+    aggregation can drop adjacent pairs. Middle vertices above
+    ``hub_cap`` are excluded (their d^2 pair expansion is the only
+    unbounded term), so per-vertex work is <= cap^2 and total pair
+    volume is bounded by E * cap. Returns the unioned Dataset with a
+    ``bucket`` column for ONE bounded pair-hash shuffle."""
     import ray.data as rd
 
     from ..graph import CSRPart
     from ..util import splitmix64
 
-    g, iddict = _build(sf_dir, "g2")
     boundaries, root, direction = g.boundaries, g.root, g.direction
     P = g.num_parts
 
@@ -1412,7 +1478,7 @@ def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
                 os.path.join(root, direction, f"part={p:05d}"), begin, end)
             deg = np.diff(csr.indptr)
             idx = csr.indices.astype(np.int64)
-            for d in np.unique(deg[(deg >= 2) & (deg <= AA_HUB_CAP)]):
+            for d in np.unique(deg[(deg >= 2) & (deg <= hub_cap)]):
                 vloc = np.flatnonzero(deg == d)
                 starts = csr.indptr[vloc]
                 # (k, d) neighbor matrix of every degree-d vertex
@@ -1423,7 +1489,7 @@ def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
                 a = mat[:, iu].reshape(-1)
                 b = mat[:, ju].reshape(-1)
                 lo, hi = np.minimum(a, b), np.maximum(a, b)
-                w = np.full(len(lo), 1.0 / np.log(float(d)))
+                w = np.full(len(lo), weight_of(float(d)))
                 outs.append((lo, hi, w))
         if not outs:
             return pa.table({"a": pa.array([], pa.int64()),
@@ -1448,7 +1514,7 @@ def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
             "a": pa.array(lo), "b": pa.array(hi), "w": pa.array(w),
             "edge": pa.array(np.zeros(len(lo), np.int8)),
             "bucket": pa.array(
-                (key % np.uint64(AA_BUCKETS)).astype(np.int64)),
+                (key % np.uint64(buckets)).astype(np.int64)),
         })
 
     pairs = rd.range(P, override_num_blocks=P).map_batches(
@@ -1466,36 +1532,42 @@ def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
             "w": pa.array(np.zeros(len(s))),
             "edge": pa.array(np.ones(len(s), np.int8)),
             "bucket": pa.array(
-                (key % np.uint64(AA_BUCKETS)).astype(np.int64)),
+                (key % np.uint64(buckets)).astype(np.int64)),
         })
 
     markers = g.edges_dataset().map_batches(edge_markers,
                                             batch_format="pyarrow")
+    return pairs.union(markers)
 
-    def bucket_topk(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        w = t["w"].to_numpy(zero_copy_only=False)
-        is_edge = t["edge"].to_numpy(zero_copy_only=False).astype(bool)
-        order = np.lexsort((b, a))
-        a, b, w, is_edge = a[order], b[order], w[order], is_edge[order]
-        new = np.ones(len(a), bool)
-        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        starts = np.flatnonzero(new)
-        ga, gb = a[starts], b[starts]
-        gw = np.add.reduceat(w, starts)
-        has_edge = np.logical_or.reduceat(is_edge, starts)
-        keep = ~has_edge & (gw > 0)
-        ga, gb, gw = ga[keep], gb[keep], np.round(gw[keep], 6)
-        top = np.lexsort((gb, ga, -gw))[:AA_TOP_K]
-        return pa.table({"a": pa.array(ga[top]), "b": pa.array(gb[top]),
-                         "score": pa.array(gw[top])})
 
-    local = pairs.union(markers).groupby("bucket").map_groups(
-        bucket_topk, batch_format="pyarrow").to_pandas()
+def _cn_group_sum(t: pa.Table):
+    """Bucket-local combine of the _cn_pair_union stream: sum the pair
+    partials, drop pairs carrying an edge marker (adjacent) and zero
+    weights; returns numpy (a, b, w) arrays."""
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    w = t["w"].to_numpy(zero_copy_only=False)
+    is_edge = t["edge"].to_numpy(zero_copy_only=False).astype(bool)
+    order = np.lexsort((b, a))
+    a, b, w, is_edge = a[order], b[order], w[order], is_edge[order]
+    new = np.ones(len(a), bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    ga, gb = a[starts], b[starts]
+    gw = np.add.reduceat(w, starts)
+    has_edge = np.logical_or.reduceat(is_edge, starts)
+    keep = ~has_edge & (gw > 0)
+    return ga[keep], gb[keep], gw[keep]
+
+
+def _cn_format_topk(local, iddict, k: int) -> pa.Table:
+    """Driver-side merge of the bounded per-bucket top-k tables: final
+    (score desc, raw key) order, internal ids swapped for p-keys."""
+    import ray.data as rd
+
     # internal-id tie-break == raw-key tie-break (order-preserving rank)
     top = local.sort_values(["score", "a", "b"],
-                            ascending=[False, True, True]).head(AA_TOP_K)
+                            ascending=[False, True, True]).head(k)
     keyed = rd.from_arrow(pa.Table.from_pandas(top, preserve_index=False))
     keyed = _attach_key(keyed, iddict, "a", "rawa")
     keyed = _attach_key(keyed, iddict, "b", "rawb").to_pandas()
@@ -1506,6 +1578,111 @@ def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
         "node_b": pa.array([f"p{int(x)}" for x in keyed["rawb"]]),
         "score": pa.array(keyed["score"].to_numpy()),
     })
+
+
+def q_g2_adamic_adar(sf_dir: str) -> pa.Table:
+    """Adamic-Adar link prediction over the undirected g2 graph: for
+    every NON-adjacent pair (a < b) sharing neighbors, score =
+    Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)); top-{AA_TOP_K} pairs.
+
+    Plan (scale shape): the _cn_pair_union stream (per-partition
+    vectorised pair generation, no shuffle) hash-buckets on the pair,
+    ONE bounded shuffle; each bucket sums partials, drops adjacent
+    pairs and keeps a local top-K, so the driver sees ≤ buckets*K
+    rows. Middle vertices above AA_HUB_CAP are excluded on BOTH sides
+    of the oracle (their 1/ln(d) terms are noise and their d^2
+    expansion is the only unbounded cost)."""
+    g, iddict = _build(sf_dir, "g2")
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        ga, gb, gw = _cn_group_sum(t)
+        gw = np.round(gw, 6)
+        top = np.lexsort((gb, ga, -gw))[:AA_TOP_K]
+        return pa.table({"a": pa.array(ga[top]), "b": pa.array(gb[top]),
+                         "score": pa.array(gw[top])})
+
+    local = _cn_pair_union(
+        g, lambda d: 1.0 / np.log(d)).groupby("bucket").map_groups(
+        bucket_topk, batch_format="pyarrow").to_pandas()
+    return _cn_format_topk(local, iddict, AA_TOP_K)
+
+
+def q_g2_jaccard(sf_dir: str) -> pa.Table:
+    """Jaccard link prediction over the undirected g2 graph: for every
+    NON-adjacent pair (a < b) with a common neighbor, score =
+    |N(a)∩N(b)| / |N(a)∪N(b)|; top-{AA_TOP_K} pairs.
+
+    Plan (scale shape): common-neighbor counts ride the same
+    _cn_pair_union stream as Adamic-Adar (weight 1 per middle vertex,
+    ONE bounded pair-hash shuffle, adjacent pairs dropped in the
+    bucket combine). Unlike AA the denominator needs |N(a)∪N(b)| =
+    deg(a)+deg(b)-common, so the counted pairs take TWO bucketed hash
+    joins against the per-partition degree table (V rows, never
+    collected to the driver), then a per-block local top-K bounds what
+    the driver merges. Middle vertices above AA_HUB_CAP are excluded
+    on both sides of the oracle; a/b degrees are full (uncapped)."""
+    from ..joins import hash_bucket_join
+
+    g, iddict = _build(sf_dir, "g2")
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        ga, gb, gw = _cn_group_sum(t)
+        return pa.table({"a": pa.array(ga), "b": pa.array(gb),
+                         "common": pa.array(gw)})
+
+    cn = _cn_pair_union(g, lambda d: 1.0).groupby("bucket").map_groups(
+        bucket_sum, batch_format="pyarrow")
+
+    def deg_as(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"v": t["v"],
+                             name: t["outdeg"].cast(pa.float64())})
+        return fn
+
+    degs = degrees_dataset(g)
+    da = degs.map_batches(deg_as("da"), batch_format="pyarrow")
+    db = degs.map_batches(deg_as("db"), batch_format="pyarrow")
+    joined = hash_bucket_join(
+        hash_bucket_join(cn, da, "a", "v"), db, "b", "v")
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False)
+        dav = t["da"].to_numpy(zero_copy_only=False)
+        dbv = t["db"].to_numpy(zero_copy_only=False)
+        score = np.round(common / (dav + dbv - common), 6)
+        top = np.lexsort((b, a, -score))[:AA_TOP_K]
+        return pa.table({"a": pa.array(a[top]), "b": pa.array(b[top]),
+                         "score": pa.array(score[top])})
+
+    local = joined.map_batches(
+        score_topk, batch_format="pyarrow").to_pandas()
+    return _cn_format_topk(local, iddict, AA_TOP_K)
+
+
+SQL_G2_JACCARD = (
+    "WITH " + _G2_BASE.strip() + f""",
+mid AS (SELECT v FROM deg WHERE outdeg >= 2 AND outdeg <= {AA_HUB_CAP}),
+cn AS (
+  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+  FROM edges e1
+  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN mid m ON m.v = e1.src
+  GROUP BY e1.dst, e2.dst),
+sc AS (
+  SELECT c.a, c.b,
+         ROUND(CAST(c.common AS DOUBLE)
+               / (da.outdeg + db.outdeg - c.common), 6) AS score
+  FROM cn c
+  JOIN deg da ON da.v = c.a
+  JOIN deg db ON db.v = c.b
+  LEFT JOIN edges e ON e.src = c.a AND e.dst = c.b
+  WHERE e.src IS NULL)
+SELECT 'p' || CAST(a AS VARCHAR) AS node_a,
+       'p' || CAST(b AS VARCHAR) AS node_b, score
+FROM sc ORDER BY score DESC, a, b LIMIT {AA_TOP_K}
+""")
 
 
 SQL_G2_ADAMIC_ADAR = (
@@ -1547,11 +1724,13 @@ QUERIES = {
     "g2_wcc_contract": q_g2_wcc_contract,
     "g2_wcc_narrow": q_g2_wcc_narrow,
     "g2_kcore": q_g2_kcore,
+    "g2_mis": q_g2_mis,
     "g1_ppr": q_g1_ppr,
     "g1_hits": q_g1_hits,
     "g2_harmonic": q_g2_harmonic,
     "g3_scc": q_g3_scc,
     "g2_adamic_adar": q_g2_adamic_adar,
+    "g2_jaccard": q_g2_jaccard,
     "g2_betweenness": q_g2_betweenness,
     "g2_diameter": q_g2_diameter,
 }
@@ -1577,11 +1756,13 @@ ORACLES = {
     "g2_wcc_contract": SQL_G2_WCC,  # contraction: identical fixpoint labels
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
     "g2_kcore": SQL_G2_KCORE,
+    "g2_mis": SQL_G2_MIS,
     "g1_ppr": SQL_G1_PPR,
     "g1_hits": SQL_G1_HITS,
     "g2_harmonic": SQL_G2_HARMONIC,
     "g3_scc": SQL_G3_SCC,
     "g2_adamic_adar": SQL_G2_ADAMIC_ADAR,
+    "g2_jaccard": SQL_G2_JACCARD,
     "g2_betweenness": _betw_sql(),
     "g2_diameter": SQL_G2_DIAMETER,
 }
