@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from ..graph import Graph
 from ..joins import hash_bucket_join
@@ -96,38 +96,7 @@ def triangle_count(graph: Graph, buckets: int = 64,
     if V <= broadcast_threshold and graph.num_edges <= broadcast_threshold:
         return _triangle_broadcast(canon, V, buckets)
 
-    # undirected degree per endpoint (consumed by TWO joins -> pin once)
-    deg = (
-        canon.map_batches(
-            lambda t: pa.table(
-                {"v": pa.concat_arrays([
-                    t["a"].combine_chunks(), t["b"].combine_chunks()])}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("v")
-        .aggregate(Count(alias_name="deg"))
-    ).materialize()
-
-    withdeg = hash_bucket_join(canon, deg, left_on="a", right_on="v", buckets=buckets)
-    withdeg = withdeg.map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "dega": t["deg"]}),
-        batch_format="pyarrow",
-    )
-    withdeg = hash_bucket_join(withdeg, deg, left_on="b", right_on="v", buckets=buckets)
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        da = t["dega"].to_numpy(zero_copy_only=False)
-        db = t["deg"].to_numpy(zero_copy_only=False)
-        # orient from smaller (deg, id) to larger
-        a_first = (da < db) | ((da == db) & (a < b))
-        lo = np.where(a_first, a, b)
-        hi = np.where(a_first, b, a)
-        return pa.table({"x": pa.array(lo), "y": pa.array(hi)})
-
-    oriented = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+    oriented = _orient_join_path(canon, buckets)
 
     # wedges: (x -> y1), (x -> y2) with y1 < y2; key both sides on x
     right = oriented.map_batches(
@@ -159,6 +128,261 @@ def triangle_count(graph: Graph, buckets: int = 64,
     closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
                               buckets=buckets)
     return closed.count()
+
+
+def _orient_join_path(canon: Dataset, buckets: int) -> Dataset:
+    """Degree-orient canonical (a<b) pairs without any broadcast: a
+    degree groupby + two bucketed joins, then the stateless orient map.
+    Returns the materialized oriented (x -> y) edge set (smaller
+    (deg, id) endpoint first)."""
+    # undirected degree per endpoint (consumed by TWO joins -> pin once)
+    deg = (
+        canon.map_batches(
+            lambda t: pa.table(
+                {"v": pa.concat_arrays([
+                    t["a"].combine_chunks(), t["b"].combine_chunks()])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(Count(alias_name="deg"))
+    ).materialize()
+
+    withdeg = hash_bucket_join(canon, deg, left_on="a", right_on="v", buckets=buckets)
+    withdeg = withdeg.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "dega": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    withdeg = hash_bucket_join(withdeg, deg, left_on="b", right_on="v", buckets=buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["dega"].to_numpy(zero_copy_only=False)
+        db = t["deg"].to_numpy(zero_copy_only=False)
+        # orient from smaller (deg, id) to larger
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        return pa.table({"x": pa.array(lo), "y": pa.array(hi)})
+
+    return withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+
+
+def triangle_per_vertex(graph: Graph, buckets: int = 64) -> Dataset:
+    """Per-vertex triangle participation counts as a Dataset (v, tri) —
+    only vertices in >= 1 triangle appear (left-join degrees for the
+    rest).
+
+    Same oriented wedge join as triangle_count's scale path, but the
+    wedge CENTER rides along: each closed wedge (x; y, z) is one
+    triangle {x, y, z} counted exactly once, so exploding every closed
+    row to its three corners and groupby-summing gives T(v). The
+    explode runs a per-batch unique combiner first, so the final
+    groupby shuffles at most 3 rows per (batch, distinct vertex)."""
+    canon = canonical_edges(graph.edges_dataset()).materialize()
+    V = graph.num_vertices
+    oriented = _orient_join_path(canon, buckets)
+
+    right = oriented.map_batches(
+        lambda t: pa.table({"x2": t["x"], "z": t["y"]}), batch_format="pyarrow"
+    )
+    wedges = hash_bucket_join(oriented, right, left_on="x", right_on="x2",
+                              buckets=buckets)
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        keep = y < z
+        return pa.table({"pair": pa.array(y[keep] * V + z[keep]),
+                         "wx": pa.array(x[keep])})
+
+    wkeys = wedges.map_batches(wedge_keys, batch_format="pyarrow")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table({"epair": pa.array(lo * V + hi)})
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
+                              buckets=buckets)
+
+    def corners(t: pa.Table) -> pa.Table:
+        wx = t["wx"].to_numpy(zero_copy_only=False)
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        v = np.concatenate([wx, pair // V, pair % V])
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "tri": pa.array(cnt.astype(np.int64))})
+
+    parts = closed.map_batches(corners, batch_format="pyarrow")
+    return parts.groupby("v").aggregate(Sum(on="tri", alias_name="tri"))
+
+
+def _edge_support(canon: Dataset, V: int, buckets: int) -> Dataset:
+    """Per-edge triangle support over a canonical (a<b) edge set: each
+    closed wedge (x; y, z) is one triangle whose THREE canonical edge
+    keys each get +1. Returns a Dataset (epair, supp) keyed by the
+    packed lo*V+hi edge id; support-0 edges are absent (left-join)."""
+    oriented = _orient_join_path(canon, buckets)
+
+    right = oriented.map_batches(
+        lambda t: pa.table({"x2": t["x"], "z": t["y"]}), batch_format="pyarrow"
+    )
+    wedges = hash_bucket_join(oriented, right, left_on="x", right_on="x2",
+                              buckets=buckets)
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        keep = y < z
+        return pa.table({"pair": pa.array(y[keep] * V + z[keep]),
+                         "wx": pa.array(x[keep])})
+
+    wkeys = wedges.map_batches(wedge_keys, batch_format="pyarrow")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table({"epair": pa.array(lo * V + hi)})
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    closed = hash_bucket_join(wkeys, ekeys, left_on="pair", right_on="epair",
+                              buckets=buckets)
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        wx = t["wx"].to_numpy(zero_copy_only=False)
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        y = pair // V
+        z = pair % V
+        e1 = np.minimum(wx, y) * V + np.maximum(wx, y)
+        e2 = np.minimum(wx, z) * V + np.maximum(wx, z)
+        keys = np.concatenate([e1, e2, pair])  # (y,z) already canonical
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"epair": pa.array(uk),
+                         "supp": pa.array(cnt.astype(np.int64))})
+
+    parts = closed.map_batches(tri_edges, batch_format="pyarrow")
+    return parts.groupby("epair").aggregate(Sum(on="supp", alias_name="supp"))
+
+
+def ktruss(graph: Graph, k: int, buckets: int = 64,
+           max_rounds: int = 50,
+           local_threshold: int = 5_000_000) -> tuple[Dataset, int]:
+    """k-truss: the maximal subgraph in which every edge lies in at
+    least k-2 triangles (within the subgraph). Iterative edge peel —
+    recompute support over the survivors, drop sub-(k-2) edges, repeat
+    to fixpoint. Returns (surviving canonical (a, b) Dataset, rounds —
+    parallel peel rounds, matching the SQL oracle's unroll).
+
+    Gated dual plan (the ann_neardup pattern): at or under
+    ``local_threshold`` canonical edges the peel runs as ONE bounded
+    collect + a vectorised in-memory peel (a multi-round chain of
+    dataset jobs would pay ~7 shuffles per round for work one task
+    finishes in milliseconds). Beyond it, each round is the oriented
+    wedge join over the CURRENT survivors only (work shrinks with the
+    peel) and the edge set stays distributed throughout — the driver
+    sees one count per round. Round count is the truss peel depth."""
+    import ray.data as rd
+
+    need = max(k - 2, 0)
+    canon = canonical_edges(graph.edges_dataset()).materialize()
+    n_edges = canon.count()
+    rounds = 0
+    V = graph.num_vertices
+    if n_edges <= local_threshold:
+        tab = canon.to_pandas()  # bounded by the gate
+        a = tab["a"].to_numpy().astype(np.int64)
+        b = tab["b"].to_numpy().astype(np.int64)
+        a, b, rounds = _ktruss_local_peel(a, b, need, max_rounds)
+        return rd.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)})), rounds
+    while rounds < max_rounds:
+        rounds += 1
+        if n_edges == 0 or need == 0:
+            break
+        supp = _edge_support(canon, V, buckets)
+
+        def keyed(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "ekey": pa.array(a * V + b)})
+
+        withsupp = hash_bucket_join(
+            canon.map_batches(keyed, batch_format="pyarrow"), supp,
+            "ekey", "epair", buckets=buckets, how="left")
+
+        def keep(t: pa.Table) -> pa.Table:
+            s = t["supp"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+            m = pa.array(s >= need)
+            return t.filter(m).select(["a", "b"])
+
+        canon = withsupp.map_batches(keep, batch_format="pyarrow").materialize()
+        remaining = canon.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+    return canon, rounds
+
+
+def _ktruss_local_peel(a: np.ndarray, b: np.ndarray, need: int,
+                       max_rounds: int):
+    """Vectorised in-memory parallel peel over canonical (a<b) pairs.
+    Each round recomputes per-edge support (sorted-adjacency
+    intersection) and drops every sub-``need`` edge at once — the same
+    round semantics as the distributed loop and the SQL unroll.
+    Returns (a, b, rounds)."""
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        if len(a) == 0 or need == 0:
+            break
+        # symmetric sorted adjacency of the survivors
+        u = np.concatenate([a, b])
+        w = np.concatenate([b, a])
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        verts, starts = np.unique(u, return_index=True)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        pos = {int(vv): i for i, vv in enumerate(verts)}
+        supp = np.empty(len(a), np.int64)
+        for i in range(len(a)):
+            ia, ib = pos[int(a[i])], pos[int(b[i])]
+            na = w[starts[ia]:ends[ia]]
+            nb = w[starts[ib]:ends[ib]]
+            supp[i] = len(np.intersect1d(na, nb, assume_unique=True))
+        keep = supp >= need
+        if keep.all():
+            break
+        a, b = a[keep], b[keep]
+    return a, b, rounds
+
+
+def ktruss_oracle(edges: np.ndarray, k: int) -> set[tuple[int, int]]:
+    """Brute-force k-truss oracle (tests): returns the surviving
+    canonical (a, b) pairs."""
+    und = {(min(int(a), int(b)), max(int(a), int(b)))
+           for a, b in edges if a != b}
+    need = max(k - 2, 0)
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {(a, b) for a, b in und
+                if len(adj[a] & adj[b]) < need}
+        if not drop:
+            return und
+        und -= drop
 
 
 def _triangle_broadcast(canon, V: int, buckets: int) -> int:

@@ -427,12 +427,73 @@ JOIN (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
 """
 
 
+TOPN_K = 10
+
+
+def q_events_topn(sf_dir: str) -> pa.Table:
+    """Per-event_type top-{TOPN_K} users by summed ``value`` with their
+    dense rank — the grouped top-n pattern.
+
+    Plan (scale shape): each batch pre-aggregates (type, user) partial
+    sums (the combiner — raw event rows never enter the shuffle), ONE
+    groupby on event_type finishes the per-user totals and keeps only
+    its local top-K, so the driver sees <= types * K rows. Totals are
+    rounded to 6 before ranking so the float tie-break is stable
+    against the SQL twin."""
+    import pandas as pd
+
+    ev = _read_events(sf_dir, ["event_type", "user_id", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "user_id"], sort=True)["value"].sum()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ev.map_batches(combine, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        tot = df.groupby(["event_type", "user_id"], sort=True)["value"] \
+                .sum().reset_index()
+        tot["total"] = np.round(tot["value"].to_numpy(), 6)
+        tot = tot.sort_values(["total", "user_id"],
+                              ascending=[False, True]).head(TOPN_K)
+        tot["rk"] = np.arange(1, len(tot) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            tot[["event_type", "user_id", "total", "rk"]],
+            preserve_index=False)
+
+    out = parts.groupby("event_type").map_groups(
+        topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["event_type", "rk"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_TOPN = f"""
+WITH agg AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 6) AS total
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, total,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total DESC, user_id) AS rk
+  FROM agg)
+SELECT event_type, user_id, total, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TOPN_K}
+ORDER BY event_type, rk
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_hopping": q_events_hopping,
     "events_asof_orders": q_events_asof_orders,
     "events_quantiles": q_events_quantiles,
+    "events_topn": q_events_topn,
 }
 
 ORACLES = {
@@ -441,4 +502,5 @@ ORACLES = {
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "events_topn": SQL_EVENTS_TOPN,
 }

@@ -1095,6 +1095,196 @@ def _mis_sql(unroll: int = MIS_UNROLL) -> str:
 SQL_G2_MIS = _mis_sql()
 
 
+def q_g2_clustering(sf_dir: str) -> pa.Table:
+    """Per-vertex local clustering coefficient on the symmetric g2
+    graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)), T(v) from the oriented
+    wedge join (kernels.triangle.triangle_per_vertex — each triangle
+    counted once, corners exploded, per-batch combiner before the
+    groupby), degrees left-joined so triangle-free vertices emit 0."""
+    from ..joins import hash_bucket_join
+    from ..kernels.triangle import triangle_per_vertex
+
+    g, iddict = _build(sf_dir, "g2")
+    tri = triangle_per_vertex(g)
+    deg = degrees_dataset(g)
+    j = hash_bucket_join(deg, tri, "v", "v", how="left")
+    tab = _attach_key(j, iddict, "v", "rawkey").to_pandas()
+    d = tab["outdeg"].to_numpy().astype(np.float64)
+    t = tab["tri"].to_numpy()
+    t = np.where(np.isnan(t.astype(np.float64)), 0.0, t).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where(d >= 2, np.round(2.0 * t / (d * (d - 1.0)), 6), 0.0)
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "tri": pa.array(t.astype(np.int64)),
+        "cc": pa.array(cc),
+    })
+
+
+SQL_G2_CLUSTERING = (
+    "WITH " + _G2_BASE.strip() + """,
+tri AS (
+  SELECT e1.src AS v, COUNT(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  GROUP BY e1.src)
+SELECT 'p' || CAST(d.v AS VARCHAR) AS node_key,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS tri,
+       CASE WHEN d.outdeg >= 2
+            THEN ROUND(2.0 * COALESCE(t.t, 0)
+                       / (d.outdeg * (d.outdeg - 1.0)), 6)
+            ELSE 0.0 END AS cc
+FROM deg d LEFT JOIN tri t ON t.v = d.v
+""")
+
+
+KTRUSS_K = 5
+KTRUSS_UNROLL = 8  # SQL peel rounds; Ray side asserts rounds <= this
+                   # (extra SQL rounds past the fixpoint are no-ops)
+
+
+def q_g2_ktruss(sf_dir: str) -> pa.Table:
+    """k-truss (kernels.triangle.ktruss) on the symmetric g2 graph:
+    peel edges in < KTRUSS_K-2 triangles to fixpoint; emits each
+    surviving vertex with its within-truss degree (count of surviving
+    canonical edges at the vertex)."""
+    import ray.data as rd
+
+    from ..kernels.triangle import ktruss
+    from ..joins import coalesce
+
+    g, iddict = _build(sf_dir, "g2")
+    surv, rounds = ktruss(g, KTRUSS_K, max_rounds=KTRUSS_UNROLL + 1)
+    if rounds > KTRUSS_UNROLL:
+        raise RuntimeError(
+            f"ktruss peel took {rounds} rounds > SQL unroll "
+            f"{KTRUSS_UNROLL}")
+
+    def ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False)])
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "td": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    deg = coalesce(surv.map_batches(ends, batch_format="pyarrow")) \
+        .groupby("v").aggregate(Sum(on="td", alias_name="truss_deg"))
+    tab = _attach_key(deg, iddict, "v", "rawkey").to_pandas()
+    tab = tab.sort_values("rawkey")
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "truss_deg": pa.array(tab["truss_deg"].to_numpy().astype(np.int64)),
+    })
+
+
+def _ktruss_sql(k: int = KTRUSS_K, unroll: int = KTRUSS_UNROLL) -> str:
+    need = max(k - 2, 0)
+    ctes = ["t0 AS MATERIALIZED (SELECT a, b FROM pairs)"]
+    for i in range(1, unroll + 1):
+        p = f"t{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT a AS u, b AS w FROM {p}"
+            f" UNION ALL SELECT b, a FROM {p})")
+        ctes.append(
+            f"supp{i} AS MATERIALIZED ("
+            f" SELECT e.a, e.b, COUNT(*) AS c FROM {p} e"
+            f" JOIN s{i} s1 ON s1.u = e.a"
+            f" JOIN s{i} s2 ON s2.u = e.b AND s2.w = s1.w"
+            f" GROUP BY e.a, e.b)")
+        ctes.append(
+            f"t{i} AS MATERIALIZED ("
+            f" SELECT e.a, e.b FROM {p} e"
+            f" LEFT JOIN supp{i} x ON x.a = e.a AND x.b = e.b"
+            f" WHERE COALESCE(x.c, 0) >= {need})")
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes)
+        + f""",
+ends AS (SELECT a AS v FROM t{unroll} UNION ALL SELECT b FROM t{unroll})
+SELECT 'p' || CAST(v AS VARCHAR) AS node_key,
+       CAST(COUNT(*) AS BIGINT) AS truss_deg
+FROM ends GROUP BY v
+""")
+
+
+SQL_G2_KTRUSS = _ktruss_sql()
+
+
+def q_g2_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the symmetric g2 graph: the Pearson
+    correlation of (deg(src), deg(dst)) over all directed edge rows.
+
+    Plan (scale shape): two bucketed hash joins attach endpoint degrees
+    to the edge stream (no broadcast — the degree table never leaves
+    the cluster), then each batch reduces to SIX int64 partial sums
+    (n, Σx, Σy, Σx², Σy², Σxy); the driver sees one 6-number row per
+    block and finishes the correlation in float64."""
+    from ..joins import hash_bucket_join
+
+    g, _iddict = _build(sf_dir, "g2")
+    deg = degrees_dataset(g)
+
+    def deg_as(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"v": t["v"], name: t["outdeg"]})
+        return fn
+
+    dx = deg.map_batches(deg_as("dx"), batch_format="pyarrow")
+    dy = deg.map_batches(deg_as("dy"), batch_format="pyarrow")
+    e = g.edges_dataset().map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow")
+    j = hash_bucket_join(hash_bucket_join(e, dx, "src", "v"),
+                         dy, "dst", "v")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    # one 6-int row per block -> bounded driver collect
+    p = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy, sxx, syy, sxy = (float(p[c].sum())
+                                for c in ("n", "sx", "sy", "sxx", "syy",
+                                          "sxy"))
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pa.table({
+        "num_edges": pa.array([int(n)], pa.int64()),
+        "assortativity": pa.array([float(np.round(r, 6))]),
+    })
+
+
+SQL_G2_ASSORTATIVITY = (
+    "WITH " + _G2_BASE.strip() + """,
+dj AS (SELECT da.outdeg AS dx, db.outdeg AS dy
+       FROM edges e
+       JOIN deg da ON da.v = e.src
+       JOIN deg db ON db.v = e.dst),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dx) AS DOUBLE) AS sx,
+             CAST(SUM(dy) AS DOUBLE) AS sy,
+             CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+             CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+             CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+      FROM dj)
+SELECT CAST(n AS BIGINT) AS num_edges,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS assortativity
+FROM s
+""")
+
+
 PPR_ITERS = 10
 PPR_SEED_MOD = 97  # seeds: node ids divisible by 97 (customers + orders)
 
@@ -1725,6 +1915,9 @@ QUERIES = {
     "g2_wcc_narrow": q_g2_wcc_narrow,
     "g2_kcore": q_g2_kcore,
     "g2_mis": q_g2_mis,
+    "g2_clustering": q_g2_clustering,
+    "g2_assortativity": q_g2_assortativity,
+    "g2_ktruss": q_g2_ktruss,
     "g1_ppr": q_g1_ppr,
     "g1_hits": q_g1_hits,
     "g2_harmonic": q_g2_harmonic,
@@ -1757,6 +1950,9 @@ ORACLES = {
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
     "g2_kcore": SQL_G2_KCORE,
     "g2_mis": SQL_G2_MIS,
+    "g2_clustering": SQL_G2_CLUSTERING,
+    "g2_assortativity": SQL_G2_ASSORTATIVITY,
+    "g2_ktruss": SQL_G2_KTRUSS,
     "g1_ppr": SQL_G1_PPR,
     "g1_hits": SQL_G1_HITS,
     "g2_harmonic": SQL_G2_HARMONIC,

@@ -121,6 +121,77 @@ def test_mis_rejects_directed_store(tmp_root):
         mis(g)
 
 
+def _tri_per_vertex_oracle(edges: np.ndarray, V: int) -> np.ndarray:
+    """Per-vertex triangle counts by direct enumeration (a<b<c)."""
+    adj = [set() for _ in range(V)]
+    canon = set()
+    for s, d in edges:
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+            canon.add((min(int(s), int(d)), max(int(s), int(d))))
+    tri = np.zeros(V, np.int64)
+    for a, b in canon:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return tri
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_triangle_per_vertex_matches_numpy(tmp_root, seed):
+    from planar_ray.kernels.triangle import triangle_per_vertex
+
+    g, edges, V = _sym_random_graph(tmp_root, seed, V=300, E=1800,
+                                    tag="tpv")
+    t = triangle_per_vertex(g).to_pandas()
+    got = np.zeros(V, np.int64)
+    got[t["v"].to_numpy()] = t["tri"].to_numpy()
+    want = _tri_per_vertex_oracle(edges, V)
+    assert np.array_equal(got, want)
+    # triangle_count == sum / 3 cross-check
+    from planar_ray.kernels import triangle_count
+
+    assert triangle_count(g) == int(want.sum()) // 3
+
+
+@pytest.mark.parametrize("k,local", [(3, True), (4, True), (5, True),
+                                     (3, False)])
+def test_ktruss_matches_bruteforce(tmp_root, k, local):
+    """Both plans of the gated dual path: the bounded local peel
+    (default at test scale) and the distributed per-round wedge join
+    (local_threshold=0 forces the scale plan — a deliberately tiny,
+    dense graph: every distributed round pays ~7 shuffle jobs of fixed
+    overhead, so the test budget goes to round COUNT, not size)."""
+    from planar_ray.kernels.triangle import ktruss, ktruss_oracle
+
+    if local:
+        V, E = 150, 900
+    else:
+        V, E = 40, 220  # dense -> shallow peel depth
+    g, edges, V = _sym_random_graph(tmp_root, seed=31 + k, V=V, E=E,
+                                    tag=f"kt{k}{int(local)}")
+    thr = 5_000_000 if local else 0
+    surv, rounds = ktruss(g, k, buckets=8, local_threshold=thr)
+    df = surv.to_pandas()
+    got = (set() if len(df) == 0
+           else set(map(tuple, df[["a", "b"]].to_numpy())))
+    want = ktruss_oracle(edges, k)
+    assert got == want
+    assert rounds >= 1
+
+
+def test_ktruss_k2_keeps_everything(tmp_root):
+    from planar_ray.kernels.triangle import ktruss
+
+    g, edges, V = _sym_random_graph(tmp_root, seed=41, V=100, E=300,
+                                    tag="kt2")
+    surv, _ = ktruss(g, 2)
+    assert surv.count() == len(edges) // 2  # canonical pairs
+
+
 def test_jaccard_query_matches_duckdb():
     """g2_jaccard vs its SQL twin at sf0.001 (the shared
     _cn_pair_union stream + two bucketed degree joins)."""
