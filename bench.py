@@ -236,6 +236,23 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         t0 = time.monotonic(); fn(sf_dir)
         queries[qname] = time.monotonic() - t0
 
+    # round-5 relational + composite graph-metric queries
+    from planar_ray.pipelines.relational import (
+        q_lineitem_pricing,
+        q_orders_semijoin,
+        q_q3_shipping,
+    )
+    from planar_ray.pipelines.testdata_graph import q_g2_modularity
+
+    for qname, fn in [
+        ("lineitem_pricing", q_lineitem_pricing),
+        ("q3_shipping", q_q3_shipping),
+        ("orders_semijoin", q_orders_semijoin),
+        ("g2_modularity", q_g2_modularity),
+    ]:
+        t0 = time.monotonic(); fn(sf_dir)
+        queries[qname] = time.monotonic() - t0
+
     return {"queries": {k: round(v, 2) for k, v in queries.items()}, "extra": extra}
 
 

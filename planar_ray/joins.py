@@ -58,6 +58,10 @@ def _with_schema(ds: Dataset):
     if s is None:
         ds = ds.materialize()
         s = ds.schema()
+        if s is None:
+            raise ValueError(
+                "join side is empty with no derivable schema — an "
+                "upstream filter/groupby produced zero rows")
     return ds, s
 
 
@@ -81,6 +85,12 @@ def hash_bucket_join(
     # known, materialize ONCE and reuse the blocks.
     left, lschema = _with_schema(left)
     right, rschema = _with_schema(right)
+    if how in ("semi", "anti"):
+        # membership-only: ship just the key column from the right side
+        right = right.map_batches(
+            lambda t, _k=right_on: t.select([_k]), batch_format="pyarrow")
+        rtype = dict(zip(rschema.names, rschema.types))[right_on]
+        rschema = pa.schema([(right_on, rtype)])
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -126,7 +136,8 @@ def hash_bucket_join(
         [(n, types[n]) for n in lnames] + [(n, rtypes[n]) for n in out_r_cols]
     )
 
-    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     # Acero's hash join rejects NESTED (list/struct) non-key columns —
     # e.g. the shingle-set payloads of the minhash verify path. Detach

@@ -183,14 +183,320 @@ FROM events GROUP BY 1
 """
 
 
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q_q3_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-style shipping-priority: customer(segment) |x| orders
+    (ordered before the cutoff) |x| lineitem (shipped after it), revenue
+    per order, top-10 by revenue.
+
+    Scale shape: two hash-bucket joins on the join keys (custkey then
+    orderkey — each ONE bounded shuffle of only the pruned columns),
+    revenue in integer CENTS (``round(price*100) * (100 - round(disc*100))``)
+    so the per-order sum is exact int64 arithmetic and the top-k ordering
+    is bit-deterministic on both the Ray and DuckDB sides, then a per-block
+    top-k combiner before the driver-side final k-merge (the limit never
+    shuffles the full aggregate)."""
+    import datetime
+
+    from ray.data.aggregate import Sum
+
+    from ..joins import hash_bucket_join
+
+    cutoff = datetime.datetime.fromisoformat(Q3_CUTOFF)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    owned = hash_bucket_join(orders, cust,
+                             left_on="o_custkey", right_on="c_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "rev_c": pa.array(price_c * (100 - disc_c)),
+        })
+
+    joined = hash_bucket_join(li.map_batches(cents, batch_format="pyarrow"),
+                              owned.map_batches(
+                                  lambda t: t.select(
+                                      ["o_orderkey", "o_orderdate",
+                                       "o_orderpriority"]),
+                                  batch_format="pyarrow"),
+                              left_on="l_orderkey", right_on="o_orderkey")
+    per_order = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+                       .aggregate(Sum(on="rev_c", alias_name="rev_c")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= Q3_TOPK:
+            return t
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ok, -rev))[:Q3_TOPK]
+        return t.take(pa.array(np.sort(keep)))
+
+    # per-block top-k partials, then ONE bounded driver-side merge
+    out = per_order.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["rev_c", "l_orderkey"],
+                          ascending=[False, True]).head(Q3_TOPK)
+    return pa.table({
+        "l_orderkey": pa.array(out["l_orderkey"].astype("int64")),
+        "o_orderdate": pa.array(
+            out["o_orderdate"].dt.strftime("%Y-%m-%d")),
+        "o_orderpriority": pa.array(out["o_orderpriority"].astype(str)),
+        "revenue": pa.array(
+            np.round(out["rev_c"].to_numpy().astype(np.float64) / 10000.0, 2)),
+    })
+
+
+SQL_Q3_SHIPPING = f"""
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
+         l.l_orderkey ASC
+LIMIT {Q3_TOPK}
+"""
+
+
+BLOOM_BITS = 1 << 17  # 16 KiB per partial — ships to the driver bounded
+BLOOM_ACCT_MIN = 9000.0
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two splitmix64-derived bit positions per key (k=2 Bloom)."""
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & mask
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+    z = z ^ (z >> np.uint64(31))
+    h1 = (z & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+    h2 = ((z >> np.uint64(32)) & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+    return h1, h2
+
+
+def q_orders_semijoin(sf_dir: str) -> pa.Table:
+    """Semi-join with a distributed-Bloom prefilter: orders whose customer
+    has ``c_acctbal > 9000``, aggregated per order status.
+
+    Scale shape: the filter-side key set is summarised into per-block
+    16 KiB Bloom partials (map side), OR-combined on the driver (bounded:
+    blocks x 16 KiB), and broadcast ONCE via ``ray.put``; the big orders
+    table is pre-filtered map-side by the Bloom (no false negatives by
+    construction), and only the survivors — a ~10% slice plus Bloom false
+    positives — enter the ONE exact hash-bucket join that removes the
+    false positives. The aggregate result is exact; the Bloom only prunes
+    shuffle volume, never changes the answer."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..joins import hash_bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    hot = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], BLOOM_ACCT_MIN))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for h in _bloom_positions(keys):
+            np.bitwise_or.at(bits, h >> 3, (1 << (h & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    # bounded driver combine: one 16 KiB row per block
+    partials = hot.map_batches(bloom_partial, batch_format="pyarrow").take_all()
+    bloom = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for row in partials:
+        bloom |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = _bloom_positions(keys)
+        hit = (b[h1 >> 3] >> (h1 & 7) & 1) & (b[h2 >> 3] >> (h2 & 7) & 1)
+        return t.filter(pa.array(hit.astype(bool)))
+
+    maybe = orders.map_batches(prefilter, batch_format="pyarrow")
+    exact = hash_bucket_join(maybe, hot, left_on="o_custkey",
+                             right_on="c_custkey", how="semi")
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "price_c": pa.array(cents)})
+
+    out = (exact.map_batches(project, batch_format="pyarrow")
+                .groupby("o_orderstatus")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum(on="price_c", alias_name="price_c"))
+                .to_pandas())
+    return pa.table({
+        "o_orderstatus": pa.array(out["o_orderstatus"]),
+        "n_orders": pa.array(out["n_orders"].astype("int64")),
+        "revenue": pa.array(
+            np.round(out["price_c"].to_numpy().astype(np.float64) / 100.0, 2)),
+    })
+
+
+SQL_ORDERS_SEMIJOIN = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_acctbal > {BLOOM_ACCT_MIN})
+GROUP BY 1
+"""
+
+
+ANTI_CUTOFF = "2000-01-01"  # every customer has SOME order in the
+                            # testdata, so "lapsed since cutoff" keeps
+                            # the anti-join non-degenerate
+
+
+def q_cust_antijoin(sf_dir: str) -> pa.Table:
+    """TPC-H Q22-style: customers with above-average (positive) account
+    balance who placed NO order since ANTI_CUTOFF (lapsed big-balance
+    accounts), counted + summed per nation — the classic anti-join.
+
+    Scale shape: pass 1 reduces customer to TWO integers (sum of
+    positive balances in cents, their count) via per-batch partials; the
+    above-average filter then runs map-side as an exact integer
+    cross-multiplication (``cents * n > sum`` — no float threshold, so
+    Ray and DuckDB agree bit-for-bit on borderline rows). The anti-join
+    ships only ``o_custkey`` from orders into ONE bounded hash-bucket
+    exchange (``how='anti'`` — Acero left-anti per bucket), and the
+    closing groupby is #nations rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..joins import hash_bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_tab(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": pa.array(c),
+        })
+
+    cc = cust.map_batches(cents_tab, batch_format="pyarrow")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pos = c[c > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    parts = cc.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    s = sum(r["s"] for r in parts)
+    n = max(1, sum(r["n"] for r in parts))
+
+    hot = cc.map_batches(
+        lambda t, _s=s, _n=n: t.filter(pa.array(
+            t["cents"].to_numpy(zero_copy_only=False) * _n > _s)),
+        batch_format="pyarrow")
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(ANTI_CUTOFF)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow")
+    lonely = hash_bucket_join(hot, recent, left_on="c_custkey",
+                              right_on="o_custkey", how="anti")
+    out = (lonely.groupby("c_nationkey")
+                 .aggregate(Count(alias_name="n_cust"),
+                            Sum(on="cents", alias_name="cents"))
+                 .to_pandas())
+    return pa.table({
+        "c_nationkey": pa.array(out["c_nationkey"].astype("int64")),
+        "n_cust": pa.array(out["n_cust"].astype("int64")),
+        "total_acctbal": pa.array(
+            np.round(out["cents"].to_numpy().astype(np.float64) / 100.0, 2)),
+    })
+
+
+SQL_CUST_ANTIJOIN = f"""
+WITH cc AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+stats AS (
+  SELECT SUM(cents) AS s, COUNT(*) AS n FROM cc WHERE cents > 0)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(SUM(cents) / 100.0, 2) AS total_acctbal
+FROM cc, stats
+WHERE cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cc.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{ANTI_CUTOFF}')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "orders_enrich": q_orders_enrich,
     "events_pivot": q_events_pivot,
+    "q3_shipping": q_q3_shipping,
+    "orders_semijoin": q_orders_semijoin,
+    "cust_antijoin": q_cust_antijoin,
 }
 
 ORACLES = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_enrich": SQL_ORDERS_ENRICH,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "q3_shipping": SQL_Q3_SHIPPING,
+    "orders_semijoin": SQL_ORDERS_SEMIJOIN,
+    "cust_antijoin": SQL_CUST_ANTIJOIN,
 }

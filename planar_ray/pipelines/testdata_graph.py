@@ -143,6 +143,37 @@ def g3_edge_ids(sf_dir: str) -> Dataset:
         Count(alias_name="_n")).select_columns(["src", "dst"])
 
 
+G4_BLOCK = 50  # g4: SCC_MOD // G4_BLOCK ring-blocks + upward cross edges
+
+
+def g4_edge_ids(sf_dir: str) -> Dataset:
+    """Layered cyclic graph for condensation tests: nodes [0, SCC_MOD)
+    split into SCC_MOD/G4_BLOCK blocks; each block carries a +1 ring
+    (cycle => the block is one SCC once all residues appear) and each
+    node u adds a cross edge u -> (u*13+7) % SCC_MOD kept only when it
+    lands in a STRICTLY HIGHER block — so cross-SCC edges form a DAG
+    and the condensation is non-trivial (unlike g3, which is one giant
+    SCC at sf>=0.01)."""
+    M, B = SCC_MOD, G4_BLOCK
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        u = (t["o_orderkey"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) % M)
+        ring = (u // B) * B + ((u % B) + 1) % B
+        w = (u * 13 + 7) % M
+        up = (w // B) > (u // B)
+        src = np.concatenate([u, u[up]])
+        dst = np.concatenate([ring, w[up]])
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0]),
+                         "dst": pa.array(pairs[:, 1])})
+
+    e = orders.map_batches(f, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="_n")).select_columns(["src", "dst"])
+
+
 def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
     """Build (or reload) the compacted graph + id dictionary for g1/g2/g3."""
     import ray.data as rd
@@ -153,7 +184,7 @@ def _build(sf_dir: str, which: str) -> tuple[Graph, Dataset]:
         return Graph.load(root, "fwd"), rd.read_parquet(dict_dir)
 
     edges = {"g1": g1_edge_ids, "g2": g2_edge_ids,
-             "g3": g3_edge_ids}[which](sf_dir).materialize()
+             "g3": g3_edge_ids, "g4": g4_edge_ids}[which](sf_dir).materialize()
     keys = edges.map_batches(
         lambda t: pa.table(
             {"key": pa.concat_arrays(
@@ -534,7 +565,7 @@ def _wcc_sql(unroll: int = WCC_UNROLL) -> str:
     )
 
 
-def _lpa_sql(iters: int = LPA_ITERS) -> str:
+def _lpa_ctes(iters: int = LPA_ITERS) -> list[str]:
     ctes = ["lab0 AS MATERIALIZED (SELECT v, v AS label FROM nodes)"]
     for i in range(1, iters + 1):
         p = f"lab{i - 1}"
@@ -551,8 +582,12 @@ def _lpa_sql(iters: int = LPA_ITERS) -> str:
             f"     GROUP BY e.dst, p.label)"
             f"   WHERE rn = 1) w ON w.v = n.v)"
         )
+    return ctes
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
     return (
-        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes)
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(_lpa_ctes(iters))
         + f"\nSELECT 'p' || CAST(v AS VARCHAR) AS node_key,"
         f" 'p' || CAST(label AS VARCHAR) AS label FROM lab{iters}"
     )
@@ -1893,6 +1928,228 @@ ORDER BY p.score DESC, p.a, p.b LIMIT {AA_TOP_K}
 """)
 
 
+def q_g2_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity of the LPA partition — a composite that feeds
+    one kernel's output (labels) into a graph-metric pipeline. With the
+    symmetric directed store (E = 2m directed edges):
+    ``Q = intra/E - sum_c (deg_c/E)^2``.
+
+    Scale shape: the intra term needs NO per-community shuffle at all —
+    two bounded bucket joins pin labels onto edge endpoints and a
+    per-batch partial counts label-equal edges (scalar combine); the
+    degree term is one groupby over the (v, outdeg, label) table whose
+    output is #communities rows, reduced per-batch to scalar partials
+    (count, sum of squares). Both final sums are INTEGER on both sides,
+    so the single closing division is bit-deterministic."""
+    g, _ = _build(sf_dir, "g2")
+    state, _eng = lpa(g, max_iters=LPA_ITERS)
+    labels = state.select_columns(["v", "val"])
+    E = g.num_edges
+
+    lab_s = labels.map_batches(
+        lambda t: pa.table({"_sv": t["v"], "lab_s": t["val"]}),
+        batch_format="pyarrow")
+    lab_d = labels.map_batches(
+        lambda t: pa.table({"_dv": t["v"], "lab_d": t["val"]}),
+        batch_format="pyarrow")
+    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
+                          left_on="src", right_on="_sv")
+    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+
+    def intra_partial(t: pa.Table) -> pa.Table:
+        eq = pc.sum(pc.cast(pc.equal(t["lab_s"], t["lab_d"]),
+                            pa.int64())).as_py() or 0
+        return pa.table({"m": pa.array([eq], pa.int64())})
+
+    intra = int(sum(
+        r["m"] for r in
+        e2.map_batches(intra_partial, batch_format="pyarrow").take_all()))
+
+    from ray.data.aggregate import Sum
+
+    degsum = hash_bucket_join(
+        degrees_dataset(g),
+        labels.map_batches(
+            lambda t: pa.table({"_v": t["v"], "lab": t["val"]}),
+            batch_format="pyarrow"),
+        left_on="v", right_on="_v",
+    ).groupby("lab").aggregate(Sum(on="outdeg", alias_name="dsum"))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        d = t["dsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array([len(d)], pa.int64()),
+                         "sq": pa.array([int((d * d).sum())], pa.int64())})
+
+    parts = degsum.map_batches(deg_partial, batch_format="pyarrow").take_all()
+    n_comm = int(sum(r["k"] for r in parts))
+    sq = int(sum(r["sq"] for r in parts))
+    q = intra / E - sq / (E * E)
+    return pa.table({
+        "n_communities": pa.array([n_comm], pa.int64()),
+        "modularity": pa.array([round(q, 6)], pa.float64()),
+    })
+
+
+SQL_G2_MODULARITY = (
+    "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(_lpa_ctes())
+    + f""",
+lab AS MATERIALIZED (SELECT v, label FROM lab{LPA_ITERS}),
+ecnt AS (SELECT COUNT(*) AS e FROM edges),
+intra AS (SELECT COUNT(*) AS m FROM edges e
+          JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst
+          WHERE ls.label = ld.label),
+degc AS (SELECT l.label, SUM(d.outdeg) AS dsum
+         FROM deg d JOIN lab l ON l.v = d.v GROUP BY 1)
+SELECT CAST((SELECT COUNT(*) FROM degc) AS BIGINT) AS n_communities,
+       ROUND((SELECT m FROM intra) * 1.0 / (SELECT e FROM ecnt)
+             - (SELECT SUM(dsum * dsum) FROM degc) * 1.0
+               / ((SELECT e FROM ecnt) * (SELECT e FROM ecnt)), 6)
+         AS modularity"""
+)
+
+
+def q_g3_reciprocity(sf_dir: str) -> pa.Table:
+    """Edge reciprocity of the directed g3 graph: the fraction of edges
+    whose reverse edge also exists (g1 is trivially 0, g2 trivially 1 —
+    g3's functional-map union is the interesting case).
+
+    Scale shape: canonicalise each edge to its unordered pair map-side
+    (lo, hi, fwd/rev 0-1 flags), ONE bounded groupby-sum over the pair
+    key, then per-batch scalar partials (pairs-with-both, total edges) —
+    the classic pre-aggregate + bounded-shuffle plan; nothing ever
+    leaves the cluster except two integers."""
+    from ray.data.aggregate import Sum
+
+    edges = g3_edge_ids(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lo": pa.array(np.minimum(s, d)),
+            "hi": pa.array(np.maximum(s, d)),
+            "f": pa.array((s < d).astype(np.int64)),
+            "r": pa.array((s > d).astype(np.int64)),
+        })
+
+    per_pair = (edges.map_batches(canon, batch_format="pyarrow")
+                     .groupby(["lo", "hi"])
+                     .aggregate(Sum(on="f", alias_name="f"),
+                                Sum(on="r", alias_name="r")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "both": pa.array([int(((f > 0) & (r > 0)).sum())], pa.int64()),
+            "ne": pa.array([int((f + r).sum())], pa.int64()),
+        })
+
+    rows = per_pair.map_batches(partial, batch_format="pyarrow").take_all()
+    both = sum(r["both"] for r in rows)
+    ne = sum(r["ne"] for r in rows)
+    return pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "n_reciprocal": pa.array([2 * both], pa.int64()),
+        "reciprocity": pa.array([round(2.0 * both / ne, 6)], pa.float64()),
+    })
+
+
+SQL_G3_RECIPROCITY = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_orderkey % {SCC_MOD} AS BIGINT) AS a,
+         CAST((o_orderkey * 37 + 11) % {SCC_MOD} AS BIGINT) AS b,
+         CAST((o_custkey * 13 + 5) % {SCC_MOD} AS BIGINT) AS c
+  FROM orders),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM base WHERE a <> b
+  UNION
+  SELECT c, a FROM base WHERE c <> a),
+pairs AS (
+  SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+         SUM(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         SUM(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+  FROM edges GROUP BY 1, 2)
+SELECT CAST(SUM(f + r) AS BIGINT) AS n_edges,
+       CAST(2 * COUNT(*) FILTER (WHERE f > 0 AND r > 0) AS BIGINT)
+         AS n_reciprocal,
+       ROUND(2.0 * COUNT(*) FILTER (WHERE f > 0 AND r > 0) / SUM(f + r), 6)
+         AS reciprocity
+FROM pairs
+"""
+
+
+def q_g4_condensation(sf_dir: str) -> pa.Table:
+    """Condensation DAG of g4 (the layered cyclic graph): distinct
+    (scc(src), scc(dst)) pairs over cross-component edges — the
+    standard SCC post-pass that turns a cyclic graph into a DAG for
+    downstream topological passes. (g3 is a single giant SCC at
+    sf>=0.01, so its condensation is empty — g4 exists for this.)
+
+    Scale shape: two bounded bucket joins pin the SCC label onto each
+    edge endpoint, a filter drops intra-component edges map-side, and
+    ONE groupby over the (label, label) pair key dedups — output is
+    #condensation-edges rows, far smaller than E."""
+    from ..kernels.scc import scc as scc_run
+
+    g, iddict = _build(sf_dir, "g4")
+    labels, _info = scc_run(g)
+
+    lab_s = labels.map_batches(
+        lambda t: pa.table({"_sv": t["v"], "scc_s": t["scc"]}),
+        batch_format="pyarrow")
+    lab_d = labels.map_batches(
+        lambda t: pa.table({"_dv": t["v"], "scc_d": t["scc"]}),
+        batch_format="pyarrow")
+    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
+                          left_on="src", right_on="_sv")
+    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+    cross = e2.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["scc_s"], t["scc_d"])))
+                   .select(["scc_s", "scc_d"]),
+        batch_format="pyarrow")
+    dag = (cross.groupby(["scc_s", "scc_d"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["scc_s", "scc_d"]))
+    keyed = _attach_key(dag, iddict, "scc_s", "rk_s")
+    keyed = _attach_key(keyed, iddict, "scc_d", "rk_d").to_pandas()
+    return pa.table({
+        "src_scc": pa.array(
+            [f"s{int(k)}" for k in keyed["rk_s"].to_numpy()]),
+        "dst_scc": pa.array(
+            [f"s{int(k)}" for k in keyed["rk_d"].to_numpy()]),
+    })
+
+
+SQL_G4_CONDENSATION = f"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT CAST(o_orderkey % {SCC_MOD} AS BIGINT) AS u FROM orders),
+edges AS MATERIALIZED (
+  SELECT u AS src, (u // {G4_BLOCK}) * {G4_BLOCK}
+                   + ((u % {G4_BLOCK}) + 1) % {G4_BLOCK} AS dst FROM base
+  UNION
+  SELECT u, (u * 13 + 7) % {SCC_MOD} FROM base
+  WHERE ((u * 13 + 7) % {SCC_MOD}) // {G4_BLOCK} > u // {G4_BLOCK}),
+nodes AS MATERIALIZED (
+  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+reach(s, v) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+mutual AS (
+  SELECT r1.s AS v, r1.v AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s),
+lab AS (SELECT v, MAX(u) AS l FROM mutual GROUP BY v)
+SELECT DISTINCT 's' || CAST(ls.l AS VARCHAR) AS src_scc,
+                's' || CAST(ld.l AS VARCHAR) AS dst_scc
+FROM edges e
+JOIN lab ls ON ls.v = e.src
+JOIN lab ld ON ld.v = e.dst
+WHERE ls.l <> ld.l
+"""
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -1926,6 +2183,9 @@ QUERIES = {
     "g2_jaccard": q_g2_jaccard,
     "g2_betweenness": q_g2_betweenness,
     "g2_diameter": q_g2_diameter,
+    "g2_modularity": q_g2_modularity,
+    "g3_reciprocity": q_g3_reciprocity,
+    "g4_condensation": q_g4_condensation,
 }
 
 ORACLES = {
@@ -1961,4 +2221,7 @@ ORACLES = {
     "g2_jaccard": SQL_G2_JACCARD,
     "g2_betweenness": _betw_sql(),
     "g2_diameter": SQL_G2_DIAMETER,
+    "g2_modularity": SQL_G2_MODULARITY,
+    "g3_reciprocity": SQL_G3_RECIPROCITY,
+    "g4_condensation": SQL_G4_CONDENSATION,
 }

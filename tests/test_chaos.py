@@ -25,7 +25,9 @@ def _run(mode: str, extra=()):
         [sys.executable, os.path.join(repo, "tools", "chaos_kill.py"),
          "--mode", mode, "--edges", "2000000", "--parts", "8",
          "--steps", "25", *extra],
-        capture_output=True, text=True, timeout=560, env=env, cwd=repo)
+        # nominal ~35 s; the sandbox box sporadically DRAM-throttles 10x+
+        # (see BENCH/BASELINE.md ceiling probes), so leave wide headroom
+        capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
     assert proc.returncode == 0, f"chaos {mode} failed:\n{proc.stderr[-2500:]}"
     return json.loads(proc.stdout.strip().splitlines()[-1])
 

@@ -1,0 +1,143 @@
+"""Round-5 session-c additions: semi/anti hash-bucket join modes, the
+relational Q3/semi/anti driver queries, and the g4 layered graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _two_tables():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, 300)
+    left = rd.from_arrow(pa.table({
+        "k": lk, "lv": np.arange(300, dtype=np.int64)}))
+    rk = rng.integers(20, 60, 120)  # overlaps [20, 40)
+    right = rd.from_arrow(pa.table({
+        "rk": rk, "rv": np.arange(120, dtype=np.int64)}))
+    return left, right, lk, set(rk.tolist())
+
+
+def test_semi_join_membership_exact():
+    from planar_ray.joins import hash_bucket_join
+
+    left, right, lk, rkeys = _two_tables()
+    out = hash_bucket_join(left, right, "k", "rk", how="semi").to_pandas()
+    # exactly the left rows whose key appears on the right, NO duplication
+    want = int(np.isin(lk, list(rkeys)).sum())
+    assert len(out) == want
+    assert sorted(out.columns) == ["k", "lv"]
+    assert set(out["k"]).issubset(rkeys)
+    assert out["lv"].is_unique
+
+
+def test_anti_join_complement_exact():
+    from planar_ray.joins import hash_bucket_join
+
+    left, right, lk, rkeys = _two_tables()
+    semi = hash_bucket_join(left, right, "k", "rk", how="semi").to_pandas()
+    anti = hash_bucket_join(left, right, "k", "rk", how="anti").to_pandas()
+    assert len(semi) + len(anti) == 300
+    assert not (set(anti["k"]) & rkeys)
+    assert sorted(anti.columns) == ["k", "lv"]
+    # lv partitions exactly: every left row lands on one side
+    assert sorted(semi["lv"].tolist() + anti["lv"].tolist()) \
+        == list(range(300))
+
+
+def test_anti_join_empty_right_bucket_keeps_left():
+    """Buckets with zero right rows must pass their left rows through."""
+    import ray.data as rd
+
+    from planar_ray.joins import hash_bucket_join
+
+    left = rd.from_arrow(pa.table({
+        "k": np.arange(100, dtype=np.int64),
+        "lv": np.arange(100, dtype=np.int64)}))
+    right = rd.from_arrow(pa.table({"rk": np.array([3], dtype=np.int64)}))
+    anti = hash_bucket_join(left, right, "k", "rk", how="anti").to_pandas()
+    assert len(anti) == 99 and 3 not in set(anti["k"])
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("name", ["q3_shipping", "orders_semijoin",
+                                  "cust_antijoin"])
+def test_relational_round5c_oracle_parity(name):
+    from planar_ray.pipelines import relational as R
+
+    got = R.QUERIES[name](SF).to_pandas()
+    want = _duck(R.ORACLES[name])
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+    assert len(g) > 0, f"{name} degenerate (empty result proves nothing)"
+
+
+def test_g4_graph_is_layered():
+    """Every cross-block edge points to a strictly higher block; every
+    block's ring stays inside the block."""
+    from planar_ray.pipelines.testdata_graph import (
+        G4_BLOCK,
+        SCC_MOD,
+        g4_edge_ids,
+    )
+
+    e = g4_edge_ids(SF).to_pandas()
+    s, d = e["src"].to_numpy(), e["dst"].to_numpy()
+    assert s.max() < SCC_MOD and d.max() < SCC_MOD
+    bs, bd = s // G4_BLOCK, d // G4_BLOCK
+    same = bs == bd
+    # intra-block edges are exactly the +1 ring
+    blk = (s[same] // G4_BLOCK) * G4_BLOCK
+    assert ((d[same] - blk) == ((s[same] - blk) + 1) % G4_BLOCK).all()
+    # cross edges strictly ascend
+    assert (bd[~same] > bs[~same]).all()
+    # both kinds exist (non-degenerate)
+    assert same.sum() > 0 and (~same).sum() > 0
+
+
+def test_g4_condensation_nonempty_and_acyclic():
+    from planar_ray.pipelines.testdata_graph import q_g4_condensation
+
+    dag = q_g4_condensation(SF).to_pandas()
+    assert len(dag) > 0
+    # the condensation of any digraph is a DAG: Kahn's peel must consume
+    # every node
+    nodes = sorted(set(dag["src_scc"]) | set(dag["dst_scc"]))
+    succ = {n: set() for n in nodes}
+    indeg = {n: 0 for n in nodes}
+    for a, b in zip(dag["src_scc"], dag["dst_scc"]):
+        if b not in succ[a]:
+            succ[a].add(b)
+            indeg[b] += 1
+    frontier = [n for n in nodes if indeg[n] == 0]
+    seen = 0
+    while frontier:
+        n = frontier.pop()
+        seen += 1
+        for m in succ[n]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                frontier.append(m)
+    assert seen == len(nodes), "condensation contains a cycle"
