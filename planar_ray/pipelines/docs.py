@@ -166,6 +166,27 @@ def _stop_counts(low: pa.ChunkedArray | pa.Array, words: list[str]) -> np.ndarra
     return total if total is not None else np.zeros(len(low))
 
 
+def _quality_arrays(t: pa.Table):
+    """(punct_ratio, stop_ratio, quality) for a batch — the shared
+    vectorised quality math (RE2 kernels, no Python row loop)."""
+    low = pc.utf8_lower(t["text"])
+    n_chars = pc.utf8_length(t["text"]).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(t["text"], PUNCT_RE).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    words = pc.count_substring_regex(low, TOKEN_RE).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    stop_hits = _stop_counts(low, _ALL_STOPS)
+    punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
+    stop_ratio = np.where(words > 0, stop_hits / words, 0.0)
+    quality = (
+        0.4 * stop_ratio
+        + 0.3 * np.minimum(words, QUALITY_CAP) / QUALITY_CAP
+        + 0.3 * (1.0 - punct_ratio)
+    )
+    return punct_ratio, stop_ratio, quality
+
+
 def q_doc_quality(sf_dir: str) -> pa.Table:
     """Quality score: stopword ratio + capped length + low punctuation.
     Fully vectorised: every count is a pyarrow RE2 kernel, no Python
@@ -173,21 +194,7 @@ def q_doc_quality(sf_dir: str) -> pa.Table:
     docs = _read_docs(sf_dir)
 
     def score(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        n_chars = pc.utf8_length(t["text"]).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        punct = pc.count_substring_regex(t["text"], PUNCT_RE).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        words = pc.count_substring_regex(low, TOKEN_RE).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        stop_hits = _stop_counts(low, _ALL_STOPS)
-        punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
-        stop_ratio = np.where(words > 0, stop_hits / words, 0.0)
-        quality = (
-            0.4 * stop_ratio
-            + 0.3 * np.minimum(words, QUALITY_CAP) / QUALITY_CAP
-            + 0.3 * (1.0 - punct_ratio)
-        )
+        punct_ratio, stop_ratio, quality = _quality_arrays(t)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -1321,6 +1328,116 @@ ORDER BY doc_id
 """
 
 
+KEEP_PACK = 1 << 40  # doc_id < 2^40; quality micro-units < 2^21
+
+
+def q_doc_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """The flagship corpus-dedup composite: near-dup clusters (MinHash
+    LSH -> exact-Jaccard verify -> components) REDUCED to one surviving
+    document each — the member with the highest quality score (ties ->
+    lowest doc_id), i.e. what an LLM-data pipeline actually ships.
+
+    Scale shape: clustering reuses the bounded LSH + verify plan
+    (verified pairs << docs); the rep map broadcasts once via
+    ``ray.put``. Quality is computed in the SAME map pass that assigns
+    the group, and the per-group argmax is an integer Max aggregate
+    over a packed key ``q6 * 2^40 + (2^40 - 1 - doc_id)`` (quality in
+    exact micro-units, doc_id complemented so higher pack == higher
+    quality then lower id) — so the wide step is ONE groupby carrying
+    two int64s per doc, with map-side combining, and the tie-break is
+    bit-deterministic on both the Ray and DuckDB sides."""
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    verified = pair_jaccards(sf_dir, lsh_candidate_pairs(sf_dir)).filter(
+        expr=f"jaccard >= {JACCARD_TAU}"
+    ).to_pandas()  # tiny by LSH construction
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified["doc_a"], verified["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rep_ref = ray.put({x: find(x) for x in parent})
+
+    docs = _read_docs(sf_dir)
+
+    def score_assign(t: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.array([m.get(int(d), int(d)) for d in did],
+                        dtype=np.int64)
+        _, _, quality = _quality_arrays(t)
+        q6 = np.rint(np.round(quality, 6) * 1e6).astype(np.int64)
+        pack = q6 * KEEP_PACK + (KEEP_PACK - 1 - did)
+        return pa.table({"group_rep": pa.array(reps),
+                         "pack": pa.array(pack)})
+
+    agg = (docs.map_batches(score_assign, batch_format="pyarrow")
+               .groupby("group_rep")
+               .aggregate(Count(alias_name="n_docs"),
+                          Max(on="pack", alias_name="pack"))
+               .to_pandas())
+    pk = agg["pack"].to_numpy().astype(np.int64)
+    return pa.table({
+        "group_rep": pa.array(agg["group_rep"].astype("int64")),
+        "n_docs": pa.array(agg["n_docs"].astype("int64")),
+        "kept_doc_id": pa.array(KEEP_PACK - 1 - (pk % KEEP_PACK)),
+        "kept_quality": pa.array(
+            np.round((pk // KEEP_PACK) / 1e6, 6)),
+    })
+
+
+def _dedup_keep_best_sql() -> str:
+    ctes = _cand_jac_ctes()
+    ctes.append(f"ver AS (SELECT doc_a, doc_b FROM jac "
+                f"WHERE jaccard >= {JACCARD_TAU})")
+    ctes.append("walk AS (SELECT doc_a AS a, doc_b AS b FROM ver "
+                "UNION ALL SELECT doc_b, doc_a FROM ver)")
+    ctes.append(
+        "reach(d, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT w.b, r.r FROM reach r JOIN walk w ON w.a = r.d)")
+    ctes.append("grp AS (SELECT CAST(d AS BIGINT) AS doc_id, "
+                "CAST(MIN(r) AS BIGINT) AS group_rep FROM reach GROUP BY d)")
+    ctes.append(f"""qbase AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS punct,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents)""")
+    ctes.append(f"""qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * (CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE) / len(toks)
+                 ELSE 0 END)
+             + 0.3 * LEAST(CAST(len(toks) AS DOUBLE), {QUALITY_CAP}) / {QUALITY_CAP}
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END),
+           6) AS quality
+  FROM qbase)""")
+    ctes.append(f"""packed AS (
+  SELECT g.group_rep,
+         CAST(ROUND(q.quality * 1000000) AS BIGINT) * {KEEP_PACK}
+           + ({KEEP_PACK} - 1 - q.doc_id) AS pack
+  FROM grp g JOIN qual q ON q.doc_id = g.doc_id)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + f"""
+SELECT group_rep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST({KEEP_PACK} - 1 - (MAX(pack) % {KEEP_PACK}) AS BIGINT)
+         AS kept_doc_id,
+       ROUND((MAX(pack) // {KEEP_PACK}) / 1000000.0, 6) AS kept_quality
+FROM packed GROUP BY 1""")
+
+
+SQL_DOC_DEDUP_KEEP_BEST = _dedup_keep_best_sql()
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
@@ -1335,6 +1452,7 @@ QUERIES = {
     "doc_scrub": q_doc_scrub,
     "doc_hll_vocab": q_doc_hll_vocab,
     "doc_tfidf": q_doc_tfidf,
+    "doc_dedup_keep_best": q_doc_dedup_keep_best,
 }
 
 ORACLES = {
@@ -1351,4 +1469,5 @@ ORACLES = {
     "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
     "doc_scrub": SQL_DOC_SCRUB,
     "doc_hll_vocab": SQL_DOC_HLL_VOCAB,
+    "doc_dedup_keep_best": SQL_DOC_DEDUP_KEEP_BEST,
 }

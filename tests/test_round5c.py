@@ -94,6 +94,34 @@ def test_relational_round5c_oracle_parity(name):
     assert len(g) > 0, f"{name} degenerate (empty result proves nothing)"
 
 
+def test_doc_dedup_keep_best_consistent_with_parts():
+    """The composite must agree with its two ingredient queries:
+    groups from doc_minhash_dedup, winner quality from doc_quality."""
+    from planar_ray.pipelines.docs import (
+        q_doc_dedup_keep_best,
+        q_doc_minhash_dedup,
+        q_doc_quality,
+    )
+
+    kept = q_doc_dedup_keep_best(SF).to_pandas()
+    groups = q_doc_minhash_dedup(SF).to_pandas()
+    qual = q_doc_quality(SF).to_pandas().set_index("doc_id")["quality"]
+
+    assert kept["n_docs"].sum() == len(groups)
+    sizes = groups.groupby("group_rep").size()
+    assert set(kept["group_rep"]) == set(sizes.index)
+    by_rep = groups.groupby("group_rep")["doc_id"].apply(set)
+    for rep, n, kid, kq in kept[["group_rep", "n_docs", "kept_doc_id",
+                                 "kept_quality"]].itertuples(index=False):
+        members = by_rep[rep]
+        assert len(members) == n
+        assert kid in members
+        assert abs(qual[kid] - kq) < 1e-9
+        # the winner really is argmax quality (ties -> min doc_id)
+        best = max(members, key=lambda d: (qual[d], -d))
+        assert kid == best
+
+
 def test_g4_graph_is_layered():
     """Every cross-block edge points to a strictly higher block; every
     block's ring stays inside the block."""
