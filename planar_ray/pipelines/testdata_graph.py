@@ -2150,6 +2150,106 @@ WHERE ls.l <> ld.l
 """
 
 
+def q_g4_topo_depth(sf_dir: str) -> pa.Table:
+    """Topological depth of each SCC in g4's condensation DAG (the pass
+    that schedules SCC-blocks for downstream dataflow): longest-path
+    layer per component plus its member count.
+
+    Scale shape: condensation edges come from two bounded label joins +
+    one dedup groupby (as in g4_condensation); the layering itself is
+    the dagdepth KERNEL — monotone WriteMax supersteps over a
+    partitioned store, converging in L rounds (L = longest chain, here
+    #blocks-1) — not a driver loop. dag_depth raises loudly if the
+    input were cyclic."""
+    import shutil
+    import tempfile
+
+    from ..graph import partition_edges
+    from ..kernels.dagdepth import dag_depth
+    from ..kernels.scc import scc as scc_run
+
+    g, iddict = _build(sf_dir, "g4")
+    labels, _info = scc_run(g)
+
+    lab_s = labels.map_batches(
+        lambda t: pa.table({"_sv": t["v"], "scc_s": t["scc"]}),
+        batch_format="pyarrow")
+    lab_d = labels.map_batches(
+        lambda t: pa.table({"_dv": t["v"], "scc_d": t["scc"]}),
+        batch_format="pyarrow")
+    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
+                          left_on="src", right_on="_sv")
+    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+    dag = (e2.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["scc_s"], t["scc_d"])))
+                   .select(["scc_s", "scc_d"]),
+        batch_format="pyarrow")
+        .groupby(["scc_s", "scc_d"]).aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"src": t["scc_s"], "dst": t["scc_d"]}),
+            batch_format="pyarrow"))
+
+    root = tempfile.mkdtemp(prefix="g4dag_")
+    try:
+        gd = partition_edges(dag, root, g.num_vertices,
+                             num_parts=g.num_parts, direction="fwd")
+        state, _eng = dag_depth(gd)
+        depth = state.map_batches(
+            lambda t: pa.table({"_dv": t["v"], "depth": t["val"]}),
+            batch_format="pyarrow")
+        members = labels.groupby("scc").aggregate(
+            Count(alias_name="n_members"))
+        j = hash_bucket_join(members, depth, left_on="scc",
+                             right_on="_dv")
+        keyed = _attach_key(j, iddict, "scc", "rawkey").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pa.table({
+        "scc_key": pa.array(
+            [f"s{int(k)}" for k in keyed["rawkey"].to_numpy()]),
+        "depth": pa.array(keyed["depth"].to_numpy().astype(np.int64)),
+        "n_members": pa.array(
+            keyed["n_members"].to_numpy().astype(np.int64)),
+    })
+
+
+SQL_G4_TOPO_DEPTH = f"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT CAST(o_orderkey % {SCC_MOD} AS BIGINT) AS u FROM orders),
+edges AS MATERIALIZED (
+  SELECT u AS src, (u // {G4_BLOCK}) * {G4_BLOCK}
+                   + ((u % {G4_BLOCK}) + 1) % {G4_BLOCK} AS dst FROM base
+  UNION
+  SELECT u, (u * 13 + 7) % {SCC_MOD} FROM base
+  WHERE ((u * 13 + 7) % {SCC_MOD}) // {G4_BLOCK} > u // {G4_BLOCK}),
+nodes AS MATERIALIZED (
+  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+reach(s, v) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+mutual AS (
+  SELECT r1.s AS v, r1.v AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s),
+lab AS MATERIALIZED (SELECT v, MAX(u) AS l FROM mutual GROUP BY v),
+dagE AS MATERIALIZED (
+  SELECT DISTINCT ls.l AS src, ld.l AS dst
+  FROM edges e JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst
+  WHERE ls.l <> ld.l),
+paths(v, d) AS (
+  SELECT l, 0 FROM (SELECT DISTINCT l FROM lab)
+  UNION
+  SELECT e.dst, p.d + 1 FROM paths p JOIN dagE e ON e.src = p.v),
+depth AS (SELECT v, MAX(d) AS depth FROM paths GROUP BY v),
+mem AS (SELECT l, COUNT(*) AS n_members FROM lab GROUP BY l)
+SELECT 's' || CAST(m.l AS VARCHAR) AS scc_key,
+       CAST(d.depth AS BIGINT) AS depth,
+       CAST(m.n_members AS BIGINT) AS n_members
+FROM mem m JOIN depth d ON d.v = m.l
+"""
+
+
 QUERIES = {
     "g1_degree": q_g1_degree,
     "csv_degree": q_csv_degree,
@@ -2186,6 +2286,7 @@ QUERIES = {
     "g2_modularity": q_g2_modularity,
     "g3_reciprocity": q_g3_reciprocity,
     "g4_condensation": q_g4_condensation,
+    "g4_topo_depth": q_g4_topo_depth,
 }
 
 ORACLES = {
@@ -2224,4 +2325,5 @@ ORACLES = {
     "g2_modularity": SQL_G2_MODULARITY,
     "g3_reciprocity": SQL_G3_RECIPROCITY,
     "g4_condensation": SQL_G4_CONDENSATION,
+    "g4_topo_depth": SQL_G4_TOPO_DEPTH,
 }

@@ -145,6 +145,47 @@ def test_g4_graph_is_layered():
     assert same.sum() > 0 and (~same).sum() > 0
 
 
+@pytest.mark.parametrize("seed,V,E", [(1, 80, 200), (2, 500, 2000)])
+def test_dag_depth_matches_oracle(tmp_root, seed, V, E):
+    """Random DAG (edges forced low->high id) — kernel == numpy fixpoint."""
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.dagdepth import dag_depth, dag_depth_oracle
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, V, E)
+    b = rng.integers(0, V, E)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    edges = np.unique(np.stack([lo[keep], hi[keep]], 1), axis=0)
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    g = partition_edges(ds, f"{tmp_root}/dag{seed}", V, num_parts=3,
+                        direction="fwd")
+    state, eng = dag_depth(g)
+    got = state.select_columns(["v", "val"]).to_pandas()
+    depth = np.zeros(V, dtype=np.int64)
+    depth[got["v"].to_numpy()] = got["val"].to_numpy()
+    want = dag_depth_oracle(edges, V)
+    assert (depth == want).all()
+    # convergence bound: longest path + 1 supersteps
+    assert len(eng.metrics) <= want.max() + 2
+
+
+def test_dag_depth_raises_on_cycle(tmp_root):
+    import ray.data as rd
+
+    from planar_ray.graph import partition_edges
+    from planar_ray.kernels.dagdepth import dag_depth
+
+    edges = np.array([[0, 1], [1, 2], [2, 0]])
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    g = partition_edges(ds, f"{tmp_root}/dagcyc", 3, num_parts=1,
+                        direction="fwd")
+    with pytest.raises(RuntimeError, match="not a DAG"):
+        dag_depth(g, max_rounds=25)
+
+
 def test_g4_condensation_nonempty_and_acyclic():
     from planar_ray.pipelines.testdata_graph import q_g4_condensation
 
