@@ -487,6 +487,109 @@ ORDER BY event_type, rk
 """
 
 
+FUNNEL = ("signup", "view", "purchase")  # ordered stages
+
+
+def q_events_funnel(sf_dir: str) -> pa.Table:
+    """Per-user funnel progression through FUNNEL's ordered stages:
+    stage k is reached at the EARLIEST event of that type strictly
+    after the stage-(k-1) timestamp (min-chaining — the deterministic
+    greedy funnel), missing stages report -1.
+
+    Scale shape: users hash into SESSION_BUCKETS shuffle groups (one
+    bounded groupby); each group computes ALL its users' chains with
+    per-stage ``np.minimum.at`` scatters into a users-in-bucket array —
+    no Python loop over users or events, and nothing but the per-user
+    result rows leaves the group."""
+    from ..util import splitmix64
+
+    ev = _read_events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(u.astype(np.uint64))
+             % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "us": t["ts"].cast(pa.int64()),
+            "bucket": pa.array(b),
+        })
+
+    NONE = np.int64(2**62)
+
+    def chains(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("stage", pa.int64())]
+                + [(f"t_{s}", pa.int64()) for s in FUNNEL]).empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        users, uidx = np.unique(u, return_inverse=True)
+        n = len(users)
+        prev = np.full(n, -np.int64(1), dtype=np.int64)  # stage-0 gate: -1
+        stage_ts = []
+        for s in FUNNEL:
+            best = np.full(n, NONE, dtype=np.int64)
+            m = (typ == s) & (us > prev[uidx]) & (prev[uidx] != NONE)
+            np.minimum.at(best, uidx[m], us[m])
+            stage_ts.append(best)
+            prev = best
+        stage = np.sum(np.stack(stage_ts) != NONE, axis=0).astype(np.int64)
+        cols = {"user_id": pa.array(users), "stage": pa.array(stage)}
+        for s, ts_arr in zip(FUNNEL, stage_ts):
+            cols[f"t_{s}"] = pa.array(np.where(ts_arr == NONE, -1, ts_arr))
+        return pa.table(cols)
+
+    out = (ev.map_batches(cast_us, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(chains, batch_format="pyarrow")
+             .to_pandas())
+    out = out.astype({c: "int64" for c in out.columns})
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def _funnel_sql() -> str:
+    ctes = ["e AS MATERIALIZED (SELECT user_id, event_type, "
+            "epoch_us(ts) AS us FROM events)"]
+    prev = None
+    for i, s in enumerate(FUNNEL, start=1):
+        if prev is None:
+            ctes.append(f"s{i} AS (SELECT user_id, MIN(us) AS t{i} FROM e "
+                        f"WHERE event_type = '{s}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(us) AS t{i} FROM e "
+                f"JOIN s{i - 1} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{s}' AND e.us > p.t{i - 1} "
+                f"GROUP BY 1)")
+        prev = s
+    k = len(FUNNEL)
+    sel = [f"COALESCE(s{i}.t{i}, -1) AS t_{s}"
+           for i, s in enumerate(FUNNEL, start=1)]
+    stage = " + ".join(
+        f"CASE WHEN s{i}.t{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, k + 1))
+    joins = "\n".join(f"LEFT JOIN s{i} ON s{i}.user_id = u.user_id"
+                      for i in range(1, k + 1))
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST({stage} AS BIGINT) AS stage,
+       {", ".join(sel)}
+FROM u
+{joins}
+"""
+
+
+SQL_EVENTS_FUNNEL = _funnel_sql()
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
@@ -494,6 +597,7 @@ QUERIES = {
     "events_asof_orders": q_events_asof_orders,
     "events_quantiles": q_events_quantiles,
     "events_topn": q_events_topn,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -503,4 +607,5 @@ ORACLES = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_topn": SQL_EVENTS_TOPN,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

@@ -122,6 +122,35 @@ def test_doc_dedup_keep_best_consistent_with_parts():
         assert kid == best
 
 
+def test_events_funnel_oracle_parity_and_semantics():
+    import duckdb
+
+    from planar_ray.pipelines import events as EV
+
+    got = EV.QUERIES["events_funnel"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.sql(EV.ORACLES["events_funnel"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # semantics: stage timestamps strictly increase while present
+    for _, r in got.iterrows():
+        ts = [r[f"t_{s}"] for s in EV.FUNNEL]
+        present = [t for t in ts if t >= 0]
+        assert len(present) == r["stage"]
+        assert present == sorted(present)
+        # a missing stage means everything after it is missing too
+        seen_gap = False
+        for t in ts:
+            if t < 0:
+                seen_gap = True
+            else:
+                assert not seen_gap
+
+
 def test_g4_graph_is_layered():
     """Every cross-block edge points to a strictly higher block; every
     block's ring stays inside the block."""
