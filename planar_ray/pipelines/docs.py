@@ -1390,8 +1390,7 @@ def q_doc_dedup_keep_best(sf_dir: str) -> pa.Table:
         "group_rep": pa.array(agg["group_rep"].astype("int64")),
         "n_docs": pa.array(agg["n_docs"].astype("int64")),
         "kept_doc_id": pa.array(KEEP_PACK - 1 - (pk % KEEP_PACK)),
-        "kept_quality": pa.array(
-            np.round((pk // KEEP_PACK) / 1e6, 6)),
+        "kept_quality": pa.array((pk // KEEP_PACK) / 1e6),
     })
 
 
@@ -1431,7 +1430,7 @@ SELECT group_rep,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST({KEEP_PACK} - 1 - (MAX(pack) % {KEEP_PACK}) AS BIGINT)
          AS kept_doc_id,
-       ROUND((MAX(pack) // {KEEP_PACK}) / 1000000.0, 6) AS kept_quality
+       (MAX(pack) // {KEEP_PACK}) / 1000000.0 AS kept_quality
 FROM packed GROUP BY 1""")
 
 

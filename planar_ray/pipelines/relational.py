@@ -47,44 +47,54 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
+    # all money in integer cents / 10^-4 dollars: the grouped sums are
+    # exact int64 on both sides and the one closing division of the SAME
+    # integer yields bit-identical doubles (float sums would differ in
+    # association order between Ray partials and DuckDB — a hash risk)
     def project(t: pa.Table) -> pa.Table:
-        price = t["l_extendedprice"].combine_chunks()
-        disc = t["l_discount"].combine_chunks()
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty": t["l_quantity"].cast(pa.float64()),
-            "base": price.cast(pa.float64()),
-            "disc_price": pc.multiply(
-                price.cast(pa.float64()),
-                pc.subtract(pa.scalar(1.0), disc.cast(pa.float64()))),
+            "qty": pa.array(np.rint(
+                t["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)),
+            "base_c": pa.array(price_c),
+            "disc_e4": pa.array(price_c * (100 - disc_c)),
         })
 
     out = (li.map_batches(project, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum(on="qty", alias_name="sum_qty"),
-                        Sum(on="base", alias_name="sum_base_price"),
-                        Sum(on="disc_price", alias_name="sum_disc_price"),
+                        Sum(on="base_c", alias_name="base_c"),
+                        Sum(on="disc_e4", alias_name="disc_e4"),
                         Count(alias_name="count_order"))
              .to_pandas())
+    d4 = out["disc_e4"].to_numpy().astype(np.int64)
     return pa.table({
         "l_returnflag": pa.array(out["l_returnflag"]),
         "l_linestatus": pa.array(out["l_linestatus"]),
-        "sum_qty": pa.array(np.round(out["sum_qty"].to_numpy(), 2)),
+        "sum_qty": pa.array(out["sum_qty"].to_numpy().astype(np.float64)),
         "sum_base_price": pa.array(
-            np.round(out["sum_base_price"].to_numpy(), 2)),
-        "sum_disc_price": pa.array(
-            np.round(out["sum_disc_price"].to_numpy(), 2)),
+            out["base_c"].to_numpy().astype(np.int64) / 100.0),
+        "sum_disc_price": pa.array(((d4 + 50) // 100) / 100.0),
         "count_order": pa.array(out["count_order"].astype("int64")),
     })
 
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
-       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_base_price,
-       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                 * (1.0 - CAST(l_discount AS DOUBLE))), 2) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100)
+         / 100.0 AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY 1, 2
 """
@@ -121,29 +131,33 @@ def q_orders_enrich(sf_dir: str) -> pa.Table:
     def resolve(t: pa.Table) -> pa.Table:
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         lnm, lrg = ray.get(lut_ref)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
         return pa.table({
             "r_name": pa.array(lrg[nk].astype(str)),
             "n_name": pa.array(lnm[nk].astype(str)),
-            "rev": t["o_totalprice"].cast(pa.float64()),
+            "rev_c": pa.array(cents),
         })
 
     out = (joined.map_batches(resolve, batch_format="pyarrow")
                  .groupby(["r_name", "n_name"])
                  .aggregate(Count(alias_name="n_orders"),
-                            Sum(on="rev", alias_name="revenue"))
+                            Sum(on="rev_c", alias_name="rev_c"))
                  .to_pandas())
     return pa.table({
         "r_name": pa.array(out["r_name"]),
         "n_name": pa.array(out["n_name"]),
         "n_orders": pa.array(out["n_orders"].astype("int64")),
-        "revenue": pa.array(np.round(out["revenue"].to_numpy(), 2)),
+        "revenue": pa.array(
+            out["rev_c"].to_numpy().astype(np.int64) / 100.0),
     })
 
 
 SQL_ORDERS_ENRICH = """
 SELECT r.r_name, n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(CAST(o.o_totalprice AS DOUBLE)), 2) AS revenue
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -265,8 +279,10 @@ def q_q3_shipping(sf_dir: str) -> pa.Table:
         "o_orderdate": pa.array(
             out["o_orderdate"].dt.strftime("%Y-%m-%d")),
         "o_orderpriority": pa.array(out["o_orderpriority"].astype(str)),
+        # exact half-away-from-zero to cents, then one shared division
         "revenue": pa.array(
-            np.round(out["rev_c"].to_numpy().astype(np.float64) / 10000.0, 2)),
+            ((out["rev_c"].to_numpy().astype(np.int64) + 50) // 100)
+            / 100.0),
     })
 
 
@@ -274,9 +290,9 @@ SQL_Q3_SHIPPING = f"""
 SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
        STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o.o_orderpriority,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 2) AS revenue
+       ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50)
+        // 100) / 100.0 AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -374,15 +390,14 @@ def q_orders_semijoin(sf_dir: str) -> pa.Table:
         "o_orderstatus": pa.array(out["o_orderstatus"]),
         "n_orders": pa.array(out["n_orders"].astype("int64")),
         "revenue": pa.array(
-            np.round(out["price_c"].to_numpy().astype(np.float64) / 100.0, 2)),
+            out["price_c"].to_numpy().astype(np.int64) / 100.0),
     })
 
 
 SQL_ORDERS_SEMIJOIN = f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
-         AS revenue
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM customer c
               WHERE c.c_custkey = o.o_custkey
@@ -460,7 +475,7 @@ def q_cust_antijoin(sf_dir: str) -> pa.Table:
         "c_nationkey": pa.array(out["c_nationkey"].astype("int64")),
         "n_cust": pa.array(out["n_cust"].astype("int64")),
         "total_acctbal": pa.array(
-            np.round(out["cents"].to_numpy().astype(np.float64) / 100.0, 2)),
+            out["cents"].to_numpy().astype(np.int64) / 100.0),
     })
 
 
@@ -473,13 +488,97 @@ stats AS (
   SELECT SUM(cents) AS s, COUNT(*) AS n FROM cc WHERE cents > 0)
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_cust,
-       ROUND(SUM(cents) / 100.0, 2) AS total_acctbal
+       SUM(cents) / 100.0 AS total_acctbal
 FROM cc, stats
 WHERE cents * n > s
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = cc.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{ANTI_CUTOFF}')
 GROUP BY 1
+"""
+
+
+def q_q9_profit(sf_dir: str) -> pa.Table:
+    """TPC-H Q9-style product profit: lineitem |x| part |x| supplier,
+    revenue per (supplier nation, part brand) — the widest join shape in
+    the suite, covering the two remaining tables (part, supplier).
+
+    Scale shape: both dimension sides ship ONLY their pruned columns
+    (partkey+brand, suppkey+nationkey) through two bounded hash-bucket
+    joins against the fact table; nation names resolve from a 25-row
+    broadcast lookup map-side (never shuffled); revenue accumulates in
+    integer 10^-4 dollars so the grouped sums are exact int64 on both
+    the Ray and DuckDB sides."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..joins import hash_bucket_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nkeys = nat["n_nationkey"].astype(int).to_numpy()
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    for k, nm in zip(nkeys, nat["n_name"]):
+        lut[k] = nm
+    lut_ref = ray.put(lut)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"].cast(pa.int64()),
+            "l_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "rev_c": pa.array(price_c * (100 - disc_c)),
+        })
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j1 = hash_bucket_join(li.map_batches(cents, batch_format="pyarrow"),
+                          part, left_on="l_partkey", right_on="p_partkey")
+    j2 = hash_bucket_join(j1, supp,
+                          left_on="l_suppkey", right_on="s_suppkey")
+
+    def resolve(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = ray.get(lut_ref)
+        return pa.table({
+            "n_name": pa.array(names[nk].astype(str)),
+            "p_brand": t["p_brand"],
+            "rev_c": t["rev_c"],
+        })
+
+    out = (j2.map_batches(resolve, batch_format="pyarrow")
+             .groupby(["n_name", "p_brand"])
+             .aggregate(Count(alias_name="n_items"),
+                        Sum(on="rev_c", alias_name="rev_c"))
+             .to_pandas())
+    return pa.table({
+        "n_name": pa.array(out["n_name"]),
+        "p_brand": pa.array(out["p_brand"]),
+        "n_items": pa.array(out["n_items"].astype("int64")),
+        "revenue": pa.array(
+            ((out["rev_c"].to_numpy().astype(np.int64) + 50) // 100)
+            / 100.0),
+    })
+
+
+SQL_Q9_PROFIT = """
+SELECT n.n_name, p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50)
+        // 100) / 100.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
 """
 
 
@@ -490,6 +589,7 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "orders_semijoin": q_orders_semijoin,
     "cust_antijoin": q_cust_antijoin,
+    "q9_profit": q_q9_profit,
 }
 
 ORACLES = {
@@ -499,4 +599,5 @@ ORACLES = {
     "q3_shipping": SQL_Q3_SHIPPING,
     "orders_semijoin": SQL_ORDERS_SEMIJOIN,
     "cust_antijoin": SQL_CUST_ANTIJOIN,
+    "q9_profit": SQL_Q9_PROFIT,
 }

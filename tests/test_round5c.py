@@ -72,14 +72,15 @@ def _duck(sql):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events"):
+    for t in ("customer", "orders", "lineitem", "events",
+              "part", "supplier", "nation", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.sql(sql).df()
 
 
 @pytest.mark.parametrize("name", ["q3_shipping", "orders_semijoin",
-                                  "cust_antijoin"])
+                                  "cust_antijoin", "q9_profit"])
 def test_relational_round5c_oracle_parity(name):
     from planar_ray.pipelines import relational as R
 
