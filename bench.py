@@ -214,6 +214,12 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     from planar_ray.pipelines.docs import q_doc_tfidf
     from planar_ray.pipelines.events import q_events_sessionize, q_events_window
     from planar_ray.pipelines.multimodal import q_mm_audio, q_mm_decode
+    from planar_ray.pipelines.relational import (
+        q_lineitem_pricing,
+        q_orders_semijoin,
+        q_q3_shipping,
+    )
+    from planar_ray.pipelines.testdata_graph import q_g2_modularity
 
     for qname, fn in [
         ("doc_exact_dedup", q_doc_exact_dedup),
@@ -232,19 +238,7 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
         ("doc_tfidf", q_doc_tfidf),
         ("mm_decode", q_mm_decode),
         ("mm_audio", q_mm_audio),
-    ]:
-        t0 = time.monotonic(); fn(sf_dir)
-        queries[qname] = time.monotonic() - t0
-
-    # round-5 relational + composite graph-metric queries
-    from planar_ray.pipelines.relational import (
-        q_lineitem_pricing,
-        q_orders_semijoin,
-        q_q3_shipping,
-    )
-    from planar_ray.pipelines.testdata_graph import q_g2_modularity
-
-    for qname, fn in [
+        # round-5 relational + composite graph-metric queries
         ("lineitem_pricing", q_lineitem_pricing),
         ("q3_shipping", q_q3_shipping),
         ("orders_semijoin", q_orders_semijoin),

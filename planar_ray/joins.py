@@ -75,8 +75,11 @@ def hash_bucket_join(
 ) -> Dataset:
     """Join two datasets on a single key column (string or integer).
 
-    Output columns: all left columns + all right columns except
-    ``right_on`` (joined value columns must not collide by name).
+    ``how``: "inner" / "left" emit all left columns + all right columns
+    except ``right_on`` (joined value columns must not collide by
+    name). "semi" / "anti" are membership-only: the right side is
+    reduced to its key column before the exchange and the output
+    carries LEFT columns only (anti = left rows with NO right match).
     """
 
     # .schema(fetch_if_missing=True) on a lazy plan EXECUTES it (fully, if

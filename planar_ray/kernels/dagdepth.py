@@ -65,13 +65,17 @@ class DagDepthKernel(Kernel):
         return superstep > 0 and int(stats.get("changed") or 0) == 0
 
 
-def dag_depth(graph: Graph, max_rounds: int = 10_000, **engine_kw):
+def dag_depth(graph: Graph, max_rounds: int | None = None, **engine_kw):
     """Longest-path depth per vertex; returns (state Dataset, engine).
 
     Raises if the propagation has not converged within ``max_rounds``
-    supersteps — on a true DAG that bound is the longest path length,
-    so hitting it means the input has a cycle (or the cap is too low).
+    supersteps. The default bound is ``num_vertices + 1``: any DAG's
+    longest path is <= V-1 (so every valid DAG converges inside it),
+    while on a cycle depths keep growing and exceed it within ~V
+    rounds — correct for all DAGs, bounded on bad input.
     """
+    if max_rounds is None:
+        max_rounds = graph.num_vertices + 1
     eng = Engine(graph, DagDepthKernel(), **engine_kw)
     state = eng.run(max_supersteps=max_rounds)
     last = eng.metrics[-1] if eng.metrics else None

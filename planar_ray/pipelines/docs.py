@@ -574,6 +574,31 @@ def q_doc_minhash_dedup(sf_dir: str, run_dir: str | None = None,
 WCC_PAIRS_THRESHOLD = 50_000
 
 
+def _rep_arrays(rep: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (keys, values) arrays of a rep map for vectorised lookup."""
+    if not rep:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    keys = np.fromiter(rep.keys(), dtype=np.int64, count=len(rep))
+    vals = np.fromiter(rep.values(), dtype=np.int64, count=len(rep))
+    o = np.argsort(keys)
+    return keys[o], vals[o]
+
+
+def _map_reps(keys_sorted: np.ndarray, vals_sorted: np.ndarray,
+              ids: np.ndarray) -> np.ndarray:
+    """ids -> rep (identity where absent), one searchsorted pass — the
+    shared group-assignment lookup (no Python loop over rows)."""
+    out = ids.copy()
+    if len(keys_sorted) == 0:
+        return out
+    pos = np.minimum(np.searchsorted(keys_sorted, ids),
+                     len(keys_sorted) - 1)
+    hit = keys_sorted[pos] == ids
+    out[hit] = vals_sorted[pos[hit]]
+    return out
+
+
 def _pair_components_assign(sf_dir: str, verified,
                             wcc_threshold: int = WCC_PAIRS_THRESHOLD
                             ) -> pa.Table:
@@ -603,16 +628,13 @@ def _pair_components_assign(sf_dir: str, verified,
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        rep = {x: find(x) for x in parent}
-        rep_ref = ray.put(rep)
+        rep_ref = ray.put(_rep_arrays({x: find(x) for x in parent}))
 
         def assign(t: pa.Table) -> pa.Table:
-            m = ray.get(rep_ref)
+            rk, rv = ray.get(rep_ref)
             did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            reps = np.array([m.get(int(d), int(d)) for d in did],
-                            dtype=np.int64)
             return pa.table({"doc_id": pa.array(did),
-                             "group_rep": pa.array(reps)})
+                             "group_rep": pa.array(_map_reps(rk, rv, did))})
 
         out = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
         out = out.sort_values("doc_id").reset_index(drop=True)
@@ -1365,15 +1387,14 @@ def q_doc_dedup_keep_best(sf_dir: str) -> pa.Table:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rep_ref = ray.put({x: find(x) for x in parent})
+    rep_ref = ray.put(_rep_arrays({x: find(x) for x in parent}))
 
     docs = _read_docs(sf_dir)
 
     def score_assign(t: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
+        rk, rv = ray.get(rep_ref)
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        reps = np.array([m.get(int(d), int(d)) for d in did],
-                        dtype=np.int64)
+        reps = _map_reps(rk, rv, did)
         _, _, quality = _quality_arrays(t)
         q6 = np.rint(np.round(quality, 6) * 1e6).astype(np.int64)
         pack = q6 * KEEP_PACK + (KEEP_PACK - 1 - did)

@@ -525,6 +525,12 @@ def q_events_funnel(sf_dir: str) -> pa.Table:
                 [("user_id", pa.int64()), ("stage", pa.int64())]
                 + [(f"t_{s}", pa.int64()) for s in FUNNEL]).empty_table()
         us = t["us"].to_numpy(zero_copy_only=False)
+        if len(us) and us.min() < 0:
+            # the -1 missing-stage sentinel (and the stage-1 gate's -1
+            # floor) would collide with pre-epoch timestamps — refuse
+            # loudly rather than silently diverge from the SQL twin
+            raise ValueError(
+                "events_funnel requires non-negative epoch timestamps")
         typ = t["event_type"].to_numpy(zero_copy_only=False)
         users, uidx = np.unique(u, return_inverse=True)
         n = len(users)

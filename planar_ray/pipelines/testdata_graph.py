@@ -1986,7 +1986,7 @@ def q_g2_modularity(sf_dir: str) -> pa.Table:
     q = intra / E - sq / (E * E)
     return pa.table({
         "n_communities": pa.array([n_comm], pa.int64()),
-        "modularity": pa.array([round(q, 6)], pa.float64()),
+        "modularity": pa.array([float(np.round(q, 6))], pa.float64()),
     })
 
 
@@ -2051,7 +2051,8 @@ def q_g3_reciprocity(sf_dir: str) -> pa.Table:
     return pa.table({
         "n_edges": pa.array([ne], pa.int64()),
         "n_reciprocal": pa.array([2 * both], pa.int64()),
-        "reciprocity": pa.array([round(2.0 * both / ne, 6)], pa.float64()),
+        "reciprocity": pa.array([float(np.round(2.0 * both / ne, 6))],
+                                pa.float64()),
     })
 
 
@@ -2079,6 +2080,28 @@ FROM pairs
 """
 
 
+def _condensation_edges(g, labels) -> Dataset:
+    """Distinct cross-component (scc_s, scc_d) pairs: two bounded label
+    joins pin each endpoint's SCC, intra-component edges drop map-side,
+    one dedup groupby bounds the output at #condensation-edges rows."""
+    lab_s = labels.map_batches(
+        lambda t: pa.table({"_sv": t["v"], "scc_s": t["scc"]}),
+        batch_format="pyarrow")
+    lab_d = labels.map_batches(
+        lambda t: pa.table({"_dv": t["v"], "scc_d": t["scc"]}),
+        batch_format="pyarrow")
+    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
+                          left_on="src", right_on="_sv")
+    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+    cross = e2.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["scc_s"], t["scc_d"])))
+                   .select(["scc_s", "scc_d"]),
+        batch_format="pyarrow")
+    return (cross.groupby(["scc_s", "scc_d"])
+                 .aggregate(Count(alias_name="_n"))
+                 .select_columns(["scc_s", "scc_d"]))
+
+
 def q_g4_condensation(sf_dir: str) -> pa.Table:
     """Condensation DAG of g4 (the layered cyclic graph): distinct
     (scc(src), scc(dst)) pairs over cross-component edges — the
@@ -2094,23 +2117,7 @@ def q_g4_condensation(sf_dir: str) -> pa.Table:
 
     g, iddict = _build(sf_dir, "g4")
     labels, _info = scc_run(g)
-
-    lab_s = labels.map_batches(
-        lambda t: pa.table({"_sv": t["v"], "scc_s": t["scc"]}),
-        batch_format="pyarrow")
-    lab_d = labels.map_batches(
-        lambda t: pa.table({"_dv": t["v"], "scc_d": t["scc"]}),
-        batch_format="pyarrow")
-    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
-                          left_on="src", right_on="_sv")
-    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
-    cross = e2.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["scc_s"], t["scc_d"])))
-                   .select(["scc_s", "scc_d"]),
-        batch_format="pyarrow")
-    dag = (cross.groupby(["scc_s", "scc_d"])
-                .aggregate(Count(alias_name="_n"))
-                .select_columns(["scc_s", "scc_d"]))
+    dag = _condensation_edges(g, labels)
     keyed = _attach_key(dag, iddict, "scc_s", "rk_s")
     keyed = _attach_key(keyed, iddict, "scc_d", "rk_d").to_pandas()
     return pa.table({
@@ -2170,24 +2177,9 @@ def q_g4_topo_depth(sf_dir: str) -> pa.Table:
 
     g, iddict = _build(sf_dir, "g4")
     labels, _info = scc_run(g)
-
-    lab_s = labels.map_batches(
-        lambda t: pa.table({"_sv": t["v"], "scc_s": t["scc"]}),
+    dag = _condensation_edges(g, labels).map_batches(
+        lambda t: pa.table({"src": t["scc_s"], "dst": t["scc_d"]}),
         batch_format="pyarrow")
-    lab_d = labels.map_batches(
-        lambda t: pa.table({"_dv": t["v"], "scc_d": t["scc"]}),
-        batch_format="pyarrow")
-    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
-                          left_on="src", right_on="_sv")
-    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
-    dag = (e2.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["scc_s"], t["scc_d"])))
-                   .select(["scc_s", "scc_d"]),
-        batch_format="pyarrow")
-        .groupby(["scc_s", "scc_d"]).aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda t: pa.table({"src": t["scc_s"], "dst": t["scc_d"]}),
-            batch_format="pyarrow"))
 
     root = tempfile.mkdtemp(prefix="g4dag_")
     try:

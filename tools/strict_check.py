@@ -20,6 +20,10 @@ for name, sql in sorted(osql.items()):
     got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
     want = con.sql(sql).df()
     cols = sorted(got.columns)
+    if sorted(want.columns) != cols:
+        print(f"{name}: SCHEMA {cols} vs {sorted(want.columns)}", flush=True)
+        bad.append(name)
+        continue
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     status = "exact"
