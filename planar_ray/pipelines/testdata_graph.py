@@ -1928,52 +1928,93 @@ ORDER BY p.score DESC, p.a, p.b LIMIT {AA_TOP_K}
 """)
 
 
-def q_g2_modularity(sf_dir: str) -> pa.Table:
+MODULARITY_BCAST_V = 2_000_000  # below this, labels broadcast (8 B/vertex)
+
+
+def q_g2_modularity(sf_dir: str,
+                    broadcast_threshold: int = MODULARITY_BCAST_V
+                    ) -> pa.Table:
     """Newman modularity of the LPA partition — a composite that feeds
     one kernel's output (labels) into a graph-metric pipeline. With the
     symmetric directed store (E = 2m directed edges):
     ``Q = intra/E - sum_c (deg_c/E)^2``.
 
-    Scale shape: the intra term needs NO per-community shuffle at all —
-    two bounded bucket joins pin labels onto edge endpoints and a
-    per-batch partial counts label-equal edges (scalar combine); the
-    degree term is one groupby over the (v, outdeg, label) table whose
-    output is #communities rows, reduced per-batch to scalar partials
-    (count, sum of squares). Both final sums are INTEGER on both sides,
-    so the single closing division is bit-deterministic."""
+    Scale shape: labels are V-sized (tiny next to E), so below
+    ``broadcast_threshold`` vertices they ship ONCE via ``ray.put`` and
+    BOTH terms run shuffle-free — one map pass over edges counts
+    label-equal endpoints per batch (scalar partials), one map pass
+    over degrees pre-aggregates per-label degree sums per batch before
+    a #communities-row groupby. Above the threshold the same terms use
+    bounded hash-bucket joins (the broadcast no longer fits a worker).
+    Both final sums are INTEGER on both sides, so the single closing
+    division is bit-deterministic against the SQL twin."""
+    import ray
+    from ray.data.aggregate import Sum
+
     g, _ = _build(sf_dir, "g2")
     state, _eng = lpa(g, max_iters=LPA_ITERS)
     labels = state.select_columns(["v", "val"])
     E = g.num_edges
+    V = g.num_vertices
 
-    lab_s = labels.map_batches(
-        lambda t: pa.table({"_sv": t["v"], "lab_s": t["val"]}),
-        batch_format="pyarrow")
-    lab_d = labels.map_batches(
-        lambda t: pa.table({"_dv": t["v"], "lab_d": t["val"]}),
-        batch_format="pyarrow")
-    e1 = hash_bucket_join(g.edges_dataset(), lab_s,
-                          left_on="src", right_on="_sv")
-    e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+    if V <= broadcast_threshold:
+        lt = labels.to_pandas()  # bounded: V rows
+        lab_arr = np.zeros(V, dtype=np.int64)
+        lab_arr[lt["v"].to_numpy()] = lt["val"].to_numpy()
+        lab_ref = ray.put(lab_arr)
 
-    def intra_partial(t: pa.Table) -> pa.Table:
-        eq = pc.sum(pc.cast(pc.equal(t["lab_s"], t["lab_d"]),
-                            pa.int64())).as_py() or 0
-        return pa.table({"m": pa.array([eq], pa.int64())})
+        def intra_partial(t: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            eq = int((lab[s] == lab[d]).sum())
+            return pa.table({"m": pa.array([eq], pa.int64())})
 
-    intra = int(sum(
-        r["m"] for r in
-        e2.map_batches(intra_partial, batch_format="pyarrow").take_all()))
+        intra = int(sum(
+            r["m"] for r in g.edges_dataset().map_batches(
+                intra_partial, batch_format="pyarrow").take_all()))
 
-    from ray.data.aggregate import Sum
+        def deg_prepart(t: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            dv = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = lab[v]
+            uniq, inv = np.unique(lv, return_inverse=True)
+            return pa.table({"lab": pa.array(uniq),
+                             "dsum": pa.array(np.bincount(inv, weights=dv)
+                                              .astype(np.int64))})
 
-    degsum = hash_bucket_join(
-        degrees_dataset(g),
-        labels.map_batches(
-            lambda t: pa.table({"_v": t["v"], "lab": t["val"]}),
-            batch_format="pyarrow"),
-        left_on="v", right_on="_v",
-    ).groupby("lab").aggregate(Sum(on="outdeg", alias_name="dsum"))
+        degsum = (degrees_dataset(g)
+                  .map_batches(deg_prepart, batch_format="pyarrow")
+                  .groupby("lab").aggregate(Sum(on="dsum",
+                                                alias_name="dsum")))
+    else:
+        lab_s = labels.map_batches(
+            lambda t: pa.table({"_sv": t["v"], "lab_s": t["val"]}),
+            batch_format="pyarrow")
+        lab_d = labels.map_batches(
+            lambda t: pa.table({"_dv": t["v"], "lab_d": t["val"]}),
+            batch_format="pyarrow")
+        e1 = hash_bucket_join(g.edges_dataset(), lab_s,
+                              left_on="src", right_on="_sv")
+        e2 = hash_bucket_join(e1, lab_d, left_on="dst", right_on="_dv")
+
+        def intra_partial(t: pa.Table) -> pa.Table:
+            eq = pc.sum(pc.cast(pc.equal(t["lab_s"], t["lab_d"]),
+                                pa.int64())).as_py() or 0
+            return pa.table({"m": pa.array([eq], pa.int64())})
+
+        intra = int(sum(
+            r["m"] for r in
+            e2.map_batches(intra_partial, batch_format="pyarrow").take_all()))
+
+        degsum = hash_bucket_join(
+            degrees_dataset(g),
+            labels.map_batches(
+                lambda t: pa.table({"_v": t["v"], "lab": t["val"]}),
+                batch_format="pyarrow"),
+            left_on="v", right_on="_v",
+        ).groupby("lab").aggregate(Sum(on="outdeg", alias_name="dsum"))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         d = t["dsum"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -152,6 +152,14 @@ def test_events_funnel_oracle_parity_and_semantics():
                 assert not seen_gap
 
 
+def test_modularity_broadcast_and_join_paths_agree():
+    from planar_ray.pipelines.testdata_graph import q_g2_modularity
+
+    bcast = q_g2_modularity(SF).to_pydict()
+    joined = q_g2_modularity(SF, broadcast_threshold=0).to_pydict()
+    assert bcast == joined
+
+
 def test_g4_graph_is_layered():
     """Every cross-block edge points to a strictly higher block; every
     block's ring stays inside the block."""
