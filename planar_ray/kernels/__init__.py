@@ -3,7 +3,8 @@ from .gnn import GNNKernel, gnn
 from .lpa import LPAKernel, lpa
 from .pagerank import PageRankKernel, ReferencePageRankKernel, pagerank, pagerank_reference
 from .randomwalk import random_walk, road_dataset
-from .sssp import SSSPKernel, khop_counts, sssp
+from .sssp import SSSPKernel, WeightedSSSPKernel, khop_counts, sssp, wsssp
+from .coreness import CorenessKernel, coreness
 from .triangle import triangle_count
 from .mst import boruvka
 from .wcc import WCCKernel, hop_extrema_seeds, wcc, wcc_precomputed
@@ -16,6 +17,7 @@ __all__ = [
     "PageRankKernel", "ReferencePageRankKernel", "pagerank", "pagerank_reference",
     "WCCKernel", "wcc", "LPAKernel", "lpa",
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
+    "WeightedSSSPKernel", "wsssp", "CorenessKernel", "coreness",
     "ColoringKernel", "coloring", "GNNKernel", "gnn",
     "random_walk", "road_dataset", "boruvka", "wcc_precomputed", "hop_extrema_seeds",
     "KCoreKernel", "kcore", "MISKernel", "mis", "PPRKernel", "ppr",

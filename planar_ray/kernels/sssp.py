@@ -152,3 +152,80 @@ def khop_counts(graph: Graph, source: int, k: int, direction: str = "fwd",
         batch_format="pyarrow",
     ).groupby("val").count()
     return reach, eng
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP — the reference's SSSP is hop-only (sssp_app_op.h relaxes
+# Read(id)+1); this extends the same WriteMin/frontier kernel to integer
+# edge weights. Weights are a deterministic pure function of the edge's
+# COMPACTED endpoint ids (splitmix64 of src*C1+dst mod 2^64, then
+# 1..WSSSP_WMAX), so any parallelism/partitioning produces identical
+# weights and a DuckDB oracle replicates them bit-exactly with the
+# HUGEINT _sql_mix chain (pipelines/testdata_graph.SQL_G2_WSSSP).
+# ---------------------------------------------------------------------------
+
+WSSSP_WMAX = 16
+_WKEY_C = 0x9E3779B97F4A7C15
+
+
+def edge_weights(src: np.ndarray, dst: np.ndarray,
+                 wmax: int = WSSSP_WMAX) -> np.ndarray:
+    """Deterministic integer weight 1..wmax per directed edge."""
+    from ..util import splitmix64
+
+    with np.errstate(over="ignore"):
+        key = (src.astype(np.uint64) * np.uint64(_WKEY_C)
+               + dst.astype(np.uint64))
+    return (splitmix64(key) % np.uint64(wmax)).astype(np.int64) + 1
+
+
+class WeightedSSSPKernel(SSSPKernel):
+    """Same frontier/WriteMin shape as SSSPKernel; relax pushes
+    ``Read(id) + w(id, nbr)`` instead of +1. Weights are recomputed
+    per scatter batch from the CSR's (src, dst) pairs — one vectorised
+    splitmix64 pass, no weight storage or extra shuffle column."""
+
+    name = "wsssp"
+
+    def scatter(self, csr: CSRPart, v, cols):
+        counts, nbrs = csr.neighbors_flat(v)
+        if len(nbrs) == 0:
+            return None
+        u_rep = np.repeat(v, counts)
+        dist = np.repeat(cols["val"], counts) + edge_weights(u_rep, nbrs)
+        t, m = combine_min(nbrs, dist)
+        return {"v": t, "val": m}
+
+
+def wsssp(graph: Graph, source: int, direction: str = "fwd",
+          max_supersteps: int = 10_000, **engine_kw):
+    """Weighted SSSP from ``source``; returns (state Dataset, engine).
+    Converged ``val`` is the exact shortest weighted distance (the
+    relaxation is monotone; a converged fixpoint admits no shorter
+    path), INF for unreachable."""
+    from ..graph import derive_direction
+
+    if direction != "fwd":
+        derive_direction(graph, direction)
+    eng = Engine(graph, WeightedSSSPKernel(source, direction), **engine_kw)
+    state = eng.run(max_supersteps=max_supersteps)
+    return state, eng
+
+
+def wsssp_oracle(edges: np.ndarray, num_vertices: int, source: int,
+                 wmax: int = WSSSP_WMAX) -> np.ndarray:
+    """Pure-NumPy Bellman-Ford oracle (tests): same deterministic
+    weights, dense relaxation to fixpoint."""
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    w = edge_weights(src, dst, wmax)
+    dist = np.full(num_vertices, INF, dtype=np.int64)
+    dist[source] = 0
+    for _ in range(num_vertices):
+        nd = dist.copy()
+        reach = dist[src] < INF
+        np.minimum.at(nd, dst[reach], dist[src[reach]] + w[reach])
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    return dist

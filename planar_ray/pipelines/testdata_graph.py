@@ -1063,6 +1063,134 @@ def _kcore_sql(k: int = KCORE_K, unroll: int = KCORE_UNROLL) -> str:
 SQL_G2_KCORE = _kcore_sql()
 
 
+CORENESS_UNROLL = 20  # SQL h-index rounds; the Ray side asserts it
+                      # converged within this many updates
+
+
+def q_g2_coreness(sf_dir: str) -> pa.Table:
+    """Full coreness decomposition (kernels/coreness.py, distributed
+    h-index iteration) on the symmetric g2 graph — every vertex's core
+    number in ONE run, vs q_g2_kcore's single fixed-k peel. The h-index
+    operator is monotone non-increasing from degree init, so the SQL
+    twin (the same update unrolled CORENESS_UNROLL times) reaches the
+    identical fixpoint whenever the kernel converges within the unroll
+    budget — asserted here, so a slow-converging input fails loudly
+    instead of hash-mismatching."""
+    from ..kernels.coreness import coreness
+
+    g, iddict = _build(sf_dir, "g2")
+    state, eng = coreness(g, max_iters=CORENESS_UNROLL + 1)
+    if eng.metrics[-1].changed != 0:
+        raise RuntimeError(
+            f"coreness did not converge within {CORENESS_UNROLL + 1} "
+            "supersteps — raise CORENESS_UNROLL")
+    vals = state.select_columns(["v", "val"])
+    withkey = _attach_key(vals, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "coreness": pa.array(tab["val"].to_numpy().astype(np.int64)),
+    })
+
+
+def _coreness_sql(unroll: int = CORENESS_UNROLL) -> str:
+    ctes = ["cor0 AS MATERIALIZED "
+            "(SELECT v, CAST(outdeg AS BIGINT) AS c FROM deg)"]
+    for i in range(1, unroll + 1):
+        p = f"cor{i - 1}"
+        ctes.append(
+            f"h{i} AS (SELECT dst AS v, MAX(LEAST(cval, rn)) AS h FROM ("
+            f" SELECT e.dst, c.c AS cval,"
+            f" ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY c.c DESC)"
+            f" AS rn FROM edges e JOIN {p} c ON c.v = e.src) GROUP BY dst)"
+        )
+        ctes.append(
+            f"cor{i} AS MATERIALIZED (SELECT p.v,"
+            f" LEAST(p.c, COALESCE(h.h, 0)) AS c"
+            f" FROM {p} p LEFT JOIN h{i} h ON h.v = p.v)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + ",\n".join(ctes) + "\n"
+        "SELECT 'p' || CAST(v AS VARCHAR) AS node_key,"
+        f" CAST(c AS BIGINT) AS coreness FROM cor{unroll}"
+    )
+
+
+SQL_G2_CORENESS = _coreness_sql()
+
+
+WSSSP_UNROLL = 30  # SQL Bellman-Ford rounds; covers shortest paths of up
+                   # to this many edges — the Ray side asserts convergence
+                   # within the budget
+
+from ..kernels.sssp import WSSSP_WMAX as _WSSSP_WMAX  # noqa: E402
+from ..kernels.sssp import _WKEY_C as _WSSSP_KEY_C  # noqa: E402
+
+_WSSSP_INF_SQL = 1 << 40
+
+
+def q_g2_wsssp(sf_dir: str) -> pa.Table:
+    """Weighted SSSP (kernels/sssp.WeightedSSSPKernel) from internal id
+    0 on the g2 graph. Edge weights are splitmix64(src*C1+dst) mod
+    WMAX + 1 over the COMPACTED ids, so the SQL twin reproduces them
+    bit-exactly through the HUGEINT mix chain and an unrolled
+    Bellman-Ford reaches the same fixpoint."""
+    from ..kernels.sssp import wsssp
+
+    g, iddict = _build(sf_dir, "g2")
+    state, eng = wsssp(g, source=0, max_supersteps=WSSSP_UNROLL + 1)
+    if eng.metrics[-1].changed != 0:
+        raise RuntimeError(
+            f"wsssp did not converge within {WSSSP_UNROLL + 1} "
+            "supersteps — raise WSSSP_UNROLL")
+    reach = state.map_batches(
+        lambda t: t.filter(pc.less(t["val"], int(INF))).select(["v", "val"]),
+        batch_format="pyarrow",
+    )
+    withkey = _attach_key(reach, iddict, "v", "rawkey")
+    tab = withkey.to_pandas()
+    return pa.table({
+        "node_key": pa.array(_format_keys_p(tab["rawkey"].to_numpy())),
+        "dist": pa.array(tab["val"].to_numpy().astype(np.int64)),
+    })
+
+
+def _wsssp_sql(unroll: int = WSSSP_UNROLL) -> str:
+    mix, fin = _sql_mix(
+        "ww", "iedges",
+        f"(CAST(src AS HUGEINT) * {_WSSSP_KEY_C} + dst) % {_M64}",
+        ["src", "dst"])
+    big = _WSSSP_INF_SQL
+    ctes = list(mix)
+    ctes.append(
+        f"wedges AS MATERIALIZED (SELECT src, dst,"
+        f" CAST(z % {_WSSSP_WMAX} AS BIGINT) + 1 AS w FROM {fin})")
+    ctes.append(
+        "wd0 AS MATERIALIZED (SELECT id AS v,"
+        f" CASE WHEN id = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({big} AS BIGINT) END AS d FROM ids)")
+    for i in range(1, unroll + 1):
+        p = f"wd{i - 1}"
+        ctes.append(
+            f"wd{i} AS MATERIALIZED (SELECT p.v,"
+            f" LEAST(p.d, COALESCE(r.m, {big})) AS d"
+            f" FROM {p} p LEFT JOIN ("
+            f" SELECT e.dst AS v, MIN(q.d + e.w) AS m"
+            f" FROM wedges e JOIN {p} q ON q.v = e.src"
+            f" WHERE q.d < {big} GROUP BY e.dst) r ON r.v = p.v)"
+        )
+    return (
+        "WITH " + _G2_BASE.strip() + ",\n" + _IDS_CTE.strip() + ",\n"
+        + ",\n".join(ctes) + "\n"
+        "SELECT 'p' || CAST(i.v AS VARCHAR) AS node_key,"
+        f" CAST(d.d AS BIGINT) AS dist FROM wd{unroll} d"
+        f" JOIN ids i ON i.id = d.v WHERE d.d < {big}"
+    )
+
+
+SQL_G2_WSSSP = _wsssp_sql()
+
+
 MIS_UNROLL = 14  # SQL parallel-peel rounds; the Ray side asserts its BSP
                  # superstep count <= this (parallel rounds needed is at
                  # most ceil(supersteps/2)+1; extra SQL rounds are no-ops)
@@ -2304,6 +2432,8 @@ QUERIES = {
     "g2_wcc_contract": q_g2_wcc_contract,
     "g2_wcc_narrow": q_g2_wcc_narrow,
     "g2_kcore": q_g2_kcore,
+    "g2_coreness": q_g2_coreness,
+    "g2_wsssp": q_g2_wsssp,
     "g2_mis": q_g2_mis,
     "g2_clustering": q_g2_clustering,
     "g2_assortativity": q_g2_assortativity,
@@ -2343,6 +2473,8 @@ ORACLES = {
     "g2_wcc_contract": SQL_G2_WCC,  # contraction: identical fixpoint labels
     "g2_wcc_narrow": SQL_G2_WCC,    # narrow state: bit-identical labels
     "g2_kcore": SQL_G2_KCORE,
+    "g2_coreness": SQL_G2_CORENESS,
+    "g2_wsssp": SQL_G2_WSSSP,
     "g2_mis": SQL_G2_MIS,
     "g2_clustering": SQL_G2_CLUSTERING,
     "g2_assortativity": SQL_G2_ASSORTATIVITY,
