@@ -116,7 +116,7 @@ def _ingest_relabel_bfs(edges, out_dir: str, parts: int, out: dict):
 KERNELS = ("pagerank", "pagerank_ref", "wcc", "wcc_precomp", "wcc_contract",
            "lpa", "sssp", "coloring", "gnn", "randomwalk", "triangles", "mst",
            "kcore", "ppr", "hits", "scc", "betweenness", "harmonic",
-           "diameter")
+           "diameter", "wsssp", "coreness")
 
 
 def cmd_run(args) -> None:
@@ -158,6 +158,14 @@ def cmd_run(args) -> None:
     elif args.kernel == "sssp":
         _state, eng = K.sssp(
             g, source=args.source if args.source is not None else 0)
+    elif args.kernel == "wsssp":
+        _state, eng = K.wsssp(
+            g, source=args.source if args.source is not None else 0)
+    elif args.kernel == "coreness":
+        # sampled input gate inside coreness() rejects non-symmetric stores
+        _state, eng = K.coreness(g, resume=args.resume, **common)
+        t = _state.select_columns(["val"]).to_pandas()
+        out["max_coreness"] = int(t["val"].max())
     elif args.kernel == "coloring":
         _state, eng = K.coloring(g)
     elif args.kernel == "gnn":

@@ -116,3 +116,51 @@ def test_coreness_rejects_directed_store(tmp_root):
     g, edges, V = _directed_random_graph(tmp_root, seed=7, tag="dirg5d_gate")
     with pytest.raises(ValueError, match="symmetric|self-loops"):
         coreness(g)
+
+
+def test_coreness_checkpoint_resume(tmp_root, tmp_path):
+    """Interrupted coreness run resumes from its manifest to the same
+    fixpoint as the uninterrupted run."""
+    from planar_ray.kernels.coreness import coreness
+
+    g, edges, V = _sym_random_graph(tmp_root, seed=53)
+    full, _ = coreness(g)
+    want = full.select_columns(["v", "val"]).to_pandas().sort_values("v")
+
+    run_dir = str(tmp_path / "coreness_run")
+    coreness(g, max_iters=2, checkpoint_every=1, run_dir=run_dir)
+    res, _ = coreness(g, checkpoint_every=1, run_dir=run_dir, resume=True)
+    got = res.select_columns(["v", "val"]).to_pandas().sort_values("v")
+    assert np.array_equal(got["val"].to_numpy(), want["val"].to_numpy())
+
+
+def test_cli_runs_wsssp_and_coreness(tmp_root, capsys):
+    """`cli run --kernel wsssp|coreness` operability against prebuilt
+    stores (directed for wsssp, symmetric for coreness)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from planar_ray import cli
+    from planar_ray.graph import partition_edges, sym_dedup_edges
+
+    rng = np.random.default_rng(67)
+    V, E = 400, 1400
+    a = rng.integers(0, V, E)
+    b = rng.integers(0, V, E)
+    keep = a != b
+    edges = np.unique(np.stack([a[keep], b[keep]], 1), axis=0)
+    ds = rd.from_arrow(pa.table({"src": edges[:, 0], "dst": edges[:, 1]}))
+    droot = f"{tmp_root}/cli5d_dir"
+    partition_edges(ds, droot, V, num_parts=2, direction="fwd")
+    sroot = f"{tmp_root}/cli5d_sym"
+    partition_edges(sym_dedup_edges(ds), sroot, V, num_parts=2,
+                    direction="fwd")
+
+    cli.main(["run", "--kernel", "wsssp", "--graph", droot, "--source", "0"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["supersteps"] >= 1
+
+    cli.main(["run", "--kernel", "coreness", "--graph", sroot])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["max_coreness"] >= 1 and out["supersteps"] >= 1
