@@ -186,6 +186,23 @@ def run_suite(sf_dir: str, ncpu: int) -> dict:
     extra["kcore_rounds"] = len(keng.metrics)
     extra["kcore_size"] = int(kt["alive"].sum())
 
+    # round-5 kernels: full coreness decomposition (h-index iteration)
+    # reuses the symmetric store; weighted SSSP runs on the directed graph
+    from planar_ray.kernels.coreness import coreness
+    from planar_ray.kernels.sssp import wsssp
+
+    t0 = time.monotonic()
+    _cstate, ceng = coreness(gsym)
+    queries["coreness"] = time.monotonic() - t0
+    extra["coreness_rounds"] = len(ceng.metrics)
+    ct = _cstate.select_columns(["val"]).to_pandas()
+    extra["coreness_max"] = int(ct["val"].max())
+
+    t0 = time.monotonic()
+    _wstate, weng2 = wsssp(g, source=0)
+    queries["wsssp"] = time.monotonic() - t0
+    extra["wsssp_supersteps"] = len(weng2.metrics)
+
     # round-5 kernel: SCC (coloring-algorithm phase peel) on the
     # directed bench graph
     from planar_ray.kernels.scc import scc as scc_run
