@@ -163,7 +163,8 @@ def cmd_run(args) -> None:
             g, source=args.source if args.source is not None else 0)
     elif args.kernel == "coreness":
         # sampled input gate inside coreness() rejects non-symmetric stores
-        _state, eng = K.coreness(g, resume=args.resume, **common)
+        _state, eng = K.coreness(g, resume=args.resume,
+                                 mode=args.mode or "dense", **common)
         t = _state.select_columns(["val"]).to_pandas()
         out["max_coreness"] = int(t["val"].max())
     elif args.kernel == "coloring":
@@ -372,6 +373,9 @@ def main(argv=None) -> None:
     # None = unset: sssp falls back to vertex 0, ppr to the multi-seed
     # default (so `--source 0` still means "single seed at vertex 0")
     pr.add_argument("--source", type=int, default=None)
+    pr.add_argument("--mode", choices=("dense", "delta"), default=None,
+                    help="coreness only: dense rescatter (default) or "
+                         "delta messaging over the edge-aligned cache")
     pr.set_defaults(fn=cmd_run)
 
     pk = sub.add_parser("kernels", help="list kernels")

@@ -158,7 +158,11 @@ class Kernel:
                 "role": pa.array(np.full(n, role, dtype=np.int8))}
         for name, typ in self.columns.items():
             if name in cols:
-                data[name] = pa.array(np.asarray(cols[name])).cast(typ)
+                val = cols[name]
+                if isinstance(val, (pa.Array, pa.ChunkedArray)):
+                    data[name] = val if val.type == typ else val.cast(typ)
+                else:
+                    data[name] = pa.array(np.asarray(val)).cast(typ)
             else:
                 data[name] = pa.nulls(n, typ)
         return pa.table(data, schema=self.schema())
@@ -260,6 +264,30 @@ def combine_max(targets: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.n
     return uniq, np.maximum.reduceat(v, starts)
 
 
+def _is_nested(typ: pa.DataType) -> bool:
+    return pa.types.is_list(typ) or pa.types.is_large_list(typ)
+
+
+def _col_value(arr, typ: pa.DataType):
+    """State/message column -> kernel-visible value: numpy for scalar
+    types (the long-standing contract), the Arrow array itself for
+    nested (list) types — ``to_numpy`` on a list column materialises one
+    Python object per row, which at V/P rows per task would dwarf the
+    actual compute, while the Arrow array hands the kernel zero-copy
+    ``.values`` / ``.offsets`` buffers."""
+    if _is_nested(typ):
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _mask_col(col, mask: np.ndarray):
+    """Boolean-mask a kernel column value (numpy fancy-index for scalars,
+    Arrow filter for nested arrays)."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        return col.filter(pa.array(mask))
+    return col[mask]
+
+
 def combine_pair_counts(a: np.ndarray, b: np.ndarray, w: np.ndarray | None = None):
     """Grouped count/sum over (a, b) pairs -> (ua, ub, counts). Deterministic."""
     order = np.lexsort((b, a))
@@ -341,7 +369,7 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
         outs = [batch]  # state passthrough (role=0)
         v = batch["v"].to_numpy(zero_copy_only=False)
         gp = k.global_partials(
-            v, {n: batch[n].to_numpy(zero_copy_only=False)
+            v, {n: _col_value(batch[n], k.columns[n])
                 for n in k.columns if n in batch.column_names}
         )
         if gp:
@@ -356,13 +384,14 @@ def make_scatter_fn(run_id: str, kernel_ref, csr_refs: dict, boundaries_list: li
                 return pa.concat_tables(outs)
             batch = batch.filter(pa.array(act))
             v = v[act]
-        cols = {name: batch[name].to_numpy(zero_copy_only=False)
+        cols = {name: _col_value(batch[name], k.columns[name])
                 for name in k.columns if name in batch.column_names}
         parts = part_of(v, boundaries)
         for p in np.unique(parts):
             m = parts == p
             csr = _csr_from_ref(run_id, int(p), csr_refs[int(p)])
-            out = k.scatter(csr, v[m], {n: c[m] for n, c in cols.items()})
+            out = k.scatter(csr, v[m],
+                            {n: _mask_col(c, m) for n, c in cols.items()})
             if out is not None and len(out["v"]):
                 tgt = out.pop("v")
                 outs.append(k.rows(part_of(tgt, boundaries), tgt, ROLE_MSG, out))
@@ -413,13 +442,13 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
         is_msg = role == ROLE_MSG
         is_gbl = role == ROLE_GLOBAL
         names = [n for n in kernel.columns]
-        cols = {n: t[n].to_numpy(zero_copy_only=False) for n in names}
+        cols = {n: _col_value(t[n], kernel.columns[n]) for n in names}
         vv = t["v"].to_numpy(zero_copy_only=False)
         state = {"v": vv[is_state]}
         msgs = {"v": vv[is_msg]}
         for n in names:
-            state[n] = cols[n][is_state]
-            msgs[n] = cols[n][is_msg]
+            state[n] = _mask_col(cols[n], is_state)
+            msgs[n] = _mask_col(cols[n], is_msg)
         local_ctx = ctx
         wants_csr = getattr(kernel, "wants_csr", False) and csr_refs is not None
         if is_gbl.any() or wants_csr:
@@ -429,7 +458,8 @@ def make_apply_fn(run_id: str, kernel_ref, boundaries_list: list[int], ctx: dict
         if is_gbl.any():
             local_ctx["global_partials"] = {
                 n: float(np.sort(cols[n][is_gbl]).sum()) for n in names
-                if not np.all(np.isnan(cols[n][is_gbl].astype(np.float64)))
+                if not _is_nested(kernel.columns[n])
+                and not np.all(np.isnan(cols[n][is_gbl].astype(np.float64)))
             }
         new = kernel.apply(begin, end, state, msgs, local_ctx)
         v_new = new.pop("v")
@@ -594,7 +624,7 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
     per_dest: list[list] = [[] for _ in range(G)]
     dest_meta: list[dict] = [{} for _ in range(G)]
     v = state_tab["v"].to_numpy(zero_copy_only=False)
-    cols = {n: state_tab[n].to_numpy(zero_copy_only=False)
+    cols = {n: _col_value(state_tab[n], k.columns[n])
             for n in k.columns if n in state_tab.column_names}
     gp = k.global_partials(v, cols)
     meta_gp = None
@@ -604,7 +634,7 @@ def _direct_scatter(run_id: str, kernel: Kernel, csr_arrays, boundaries_list: li
     if active is None or active.any():
         vv = v if active is None else v[active]
         ccols = (cols if active is None
-                 else {n: c[active] for n, c in cols.items()})
+                 else {n: _mask_col(c, active) for n, c in cols.items()})
         csr = CSRPart(*csr_arrays)
         vr = getattr(k, "vertex_rate", None)
         raw = getattr(k, "scatter_raw", None)
@@ -836,9 +866,9 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
     state = {"v": state_tab["v"].to_numpy(zero_copy_only=False)}
     msgs = {"v": mv[is_msg]}
     for n in names:
-        state[n] = state_tab[n].to_numpy(zero_copy_only=False)
+        state[n] = _col_value(state_tab[n], k.columns[n])
         if n in wire:
-            msgs[n] = t[n].to_numpy(zero_copy_only=False)[is_msg]
+            msgs[n] = _mask_col(_col_value(t[n], k.columns[n]), is_msg)
         else:
             msgs[n] = np.zeros(n_msg)
     local_ctx = ctx
@@ -852,7 +882,7 @@ def _direct_apply(run_id: str, kernel: Kernel, boundaries_list: list, ctx: dict,
                                       lambda: CSRPart(*csr_arrays))
     if is_gbl.any():
         gcols = {n: t[n].to_numpy(zero_copy_only=False)[is_gbl]
-                 for n in names if n in wire}
+                 for n in names if n in wire and not _is_nested(k.columns[n])}
         merged = dict(local_ctx.get("global_partials") or {})  # metadata-borne
         for n, c in gcols.items():
             c = c.astype(np.float64)
