@@ -4,7 +4,7 @@ from .lpa import LPAKernel, lpa
 from .pagerank import PageRankKernel, ReferencePageRankKernel, pagerank, pagerank_reference
 from .randomwalk import random_walk, road_dataset
 from .sssp import SSSPKernel, WeightedSSSPKernel, khop_counts, sssp, wsssp
-from .coreness import CorenessKernel, coreness
+from .coreness import CorenessDeltaKernel, CorenessKernel, coreness
 from .triangle import triangle_count
 from .mst import boruvka
 from .wcc import WCCKernel, hop_extrema_seeds, wcc, wcc_precomputed
@@ -17,7 +17,8 @@ __all__ = [
     "PageRankKernel", "ReferencePageRankKernel", "pagerank", "pagerank_reference",
     "WCCKernel", "wcc", "LPAKernel", "lpa",
     "SSSPKernel", "sssp", "khop_counts", "triangle_count",
-    "WeightedSSSPKernel", "wsssp", "CorenessKernel", "coreness",
+    "WeightedSSSPKernel", "wsssp", "CorenessKernel",
+    "CorenessDeltaKernel", "coreness",
     "ColoringKernel", "coloring", "GNNKernel", "gnn",
     "random_walk", "road_dataset", "boruvka", "wcc_precomputed", "hop_extrema_seeds",
     "KCoreKernel", "kcore", "MISKernel", "mis", "PPRKernel", "ppr",
